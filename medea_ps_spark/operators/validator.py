@@ -1,0 +1,167 @@
+"""Single-pass DataFrame validation.
+
+The reference validates one JSON document at a time with backtracking
+alternation and fail-fast first-error semantics
+(/root/reference/src/Data/Medea.purs:146-162). The engine diverges by
+design (SURVEY.md §4): one declarative projection over the whole table
+computes EVERY constraint per row, collecting all violations into an
+array column — Catalyst whole-stage-codegens the lot, and the scan stays
+single-pass. Violation rows (doc_id, constraint_id, observed) are the
+distributed analogue of the reference's typed ValidationError values
+(Medea.purs:108-119).
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..plans.compiler import CompiledSet
+from ..plans.constraints import ReferentialIn, Unique
+
+VIOLATIONS_COL = "violations"
+PASSED_COL = "passed"
+
+
+def validate(df: DataFrame, compiled: CompiledSet) -> DataFrame:
+    """Append ``violations: array<struct<constraint_id,observed>>`` and
+    ``passed: boolean`` in one projection (no shuffle, no extra scan)."""
+    entries = [
+        F.when(
+            ~rc.predicate,
+            F.struct(
+                F.lit(rc.constraint_id).alias("constraint_id"),
+                rc.observed.alias("observed"),
+            ),
+        )
+        for rc in compiled.row_constraints
+    ]
+    if entries:
+        viol = F.array_compact(F.array(*entries))
+    else:
+        viol = F.expr(
+            "CAST(array() AS array<struct<constraint_id:string,observed:string>>)"
+        )
+    return df.withColumn(VIOLATIONS_COL, viol).withColumn(
+        PASSED_COL, F.size(F.col(VIOLATIONS_COL)) == 0
+    )
+
+
+def verdict_only(df: DataFrame, compiled: CompiledSet) -> DataFrame:
+    """Cheaper plan when violation detail isn't needed: passed = AND of
+    predicates (short-circuiting boolean expr, no struct/array alloc)."""
+    pred = F.lit(True)
+    for rc in compiled.row_constraints:
+        pred = pred & F.coalesce(rc.predicate, F.lit(True))
+    return df.withColumn(PASSED_COL, pred)
+
+
+def violation_rows(validated: DataFrame, id_column: str = "doc_id") -> DataFrame:
+    """Explode the violations array → (doc_id, constraint_id, observed).
+    ≙ F.explode of the reference's error taxonomy (SURVEY.md §1.4)."""
+    v = F.explode(F.col(VIOLATIONS_COL)).alias("v")
+    return validated.select(F.col(id_column), v).select(
+        F.col(id_column),
+        F.col("v.constraint_id").alias("constraint_id"),
+        F.col("v.observed").alias("observed"),
+    )
+
+
+def unique_violations(
+    df: DataFrame, c: Unique, id_column: str = "doc_id"
+) -> DataFrame:
+    """Exact duplicate detection. groupBy + count over the key column —
+    a partial+final hash aggregate (map-side combine, one shuffle of the
+    distinct keys only), then the (small) duplicate-key set is broadcast
+    back to tag the offending rows. At 10^12 rows the dup set is the
+    violation population (~0.1%), which is the only data that crosses
+    the broadcast threshold decision."""
+    dups = (
+        df.where(F.col(c.column).isNotNull())
+        .groupBy(c.column)
+        .agg(F.count(F.lit(1)).alias("_dup_count"))
+        .where(F.col("_dup_count") > 1)
+    )
+    return (
+        df.join(F.broadcast(dups), on=c.column, how="inner")
+        .select(
+            F.col(id_column),
+            F.lit(c.name).alias("constraint_id"),
+            F.concat(
+                F.col(c.column).cast("string"),
+                F.lit(" (count="),
+                F.col("_dup_count").cast("string"),
+                F.lit(")"),
+            ).alias("observed"),
+        )
+    )
+
+
+def referential_violations(
+    df: DataFrame,
+    c: ReferentialIn,
+    id_column: str = "doc_id",
+    dim: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Broadcast left-anti join against the allowed-values dimension.
+    Broadcast ⇒ no shuffle of the fact side, so source skew (Zipf) is
+    irrelevant; the salted path in operators/referential.py covers dims
+    too big to broadcast."""
+    spark = df.sparkSession
+    dim_col = c.dim_column or c.column
+    if dim is None:
+        if c.dim_values:
+            dim = spark.createDataFrame(
+                [(v,) for v in c.dim_values], schema=f"{dim_col} string"
+            )
+        else:
+            dim = spark.read.parquet(c.dim_table)
+    anti = df.join(
+        F.broadcast(dim.select(F.col(dim_col).alias(c.column)).distinct()),
+        on=c.column,
+        how="left_anti",
+    )
+    return anti.select(
+        F.col(id_column),
+        F.lit(c.name).alias("constraint_id"),
+        F.coalesce(F.col(c.column).cast("string"), F.lit("null")).alias("observed"),
+    )
+
+
+def all_violations(
+    df: DataFrame,
+    compiled: CompiledSet,
+    id_column: str = "doc_id",
+) -> DataFrame:
+    """Row-level + table-level violations as one DataFrame
+    (doc_id, constraint_id, observed)."""
+    parts: List[DataFrame] = [
+        violation_rows(validate(df, compiled), id_column=id_column)
+    ]
+    for c in compiled.table_constraints:
+        if isinstance(c, Unique):
+            parts.append(unique_violations(df, c, id_column=id_column))
+        elif isinstance(c, ReferentialIn):
+            parts.append(referential_violations(df, c, id_column=id_column))
+        # StatsBound / Drift are partition-level → operators/stats.py,
+        # operators/drift.py
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def partition_verdicts(
+    validated: DataFrame, partition_col: str = "source"
+) -> DataFrame:
+    """Per-partition pass/fail rollup — single partial+final hash agg.
+    ≙ the reference's one-document verdict, lifted to Iceberg-partition
+    granularity (SURVEY.md §1.4 last row)."""
+    return validated.groupBy(partition_col).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.col(PASSED_COL).cast("bigint")).alias("n_passed"),
+        F.sum((~F.col(PASSED_COL)).cast("bigint")).alias("n_failed"),
+        F.sum(F.size(F.col(VIOLATIONS_COL)).cast("bigint")).alias("n_violations"),
+        (F.sum((~F.col(PASSED_COL)).cast("bigint")) == 0).alias("partition_passed"),
+    )

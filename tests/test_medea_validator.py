@@ -1,0 +1,223 @@
+"""Layer-3 conformance: dual-oracle property tests for ALL 36 validation
+fixtures (/root/reference/conformance/validation/*.medea), mirroring the
+reference's QuickCheck strategy
+(/root/reference/test/validator-quickCheck/Validator.purs:31-283): a
+hand-written Python predicate per fixture is checked against the engine
+verdict over seeded random JSON documents plus targeted edge cases."""
+
+from __future__ import annotations
+
+import json
+import random
+
+import pytest
+
+from medea_ps_spark import errors as E
+from medea_ps_spark.plans.medea.analysis import load_schema_from_file
+from medea_ps_spark.plans.medea.validate import validate
+
+CONF = "/root/reference/conformance/validation"
+
+# ---------------------------------------------------------------------------
+# deterministic random JSON generator ≙ RandomJson
+# (/root/reference/test/Data/Argonaut/Arbitrary.purs:74-85)
+# ---------------------------------------------------------------------------
+
+
+def gen_json(rng: random.Random, depth: int = 0):
+    choices = "nbifsao" if depth < 2 else "nbifs"
+    c = rng.choice(choices)
+    if c == "n":
+        return None
+    if c == "b":
+        return rng.random() < 0.5
+    if c == "i":
+        return rng.randint(-100, 100)
+    if c == "f":
+        return round(rng.uniform(-100, 100), 3)
+    if c == "s":
+        return rng.choice(["", "foo", "bar", "baz", "accountant", "barber", "x" * 5])
+    if c == "a":
+        return [gen_json(rng, depth + 1) for _ in range(rng.randint(0, 5))]
+    return {
+        rng.choice(["foo", "bar", "bazz", "k1", "k2"]): gen_json(rng, depth + 1)
+        for _ in range(rng.randint(0, 4))
+    }
+
+
+# -- oracle predicate helpers ------------------------------------------------
+
+
+def is_null(v):
+    return v is None
+
+
+def is_bool(v):
+    return isinstance(v, bool)
+
+
+def is_num(v):
+    return isinstance(v, (int, float)) and not isinstance(v, bool)
+
+
+def is_str(v):
+    return isinstance(v, str)
+
+
+def is_arr(v):
+    return isinstance(v, list)
+
+
+def is_obj(v):
+    return isinstance(v, dict)
+
+
+def has_prop(obj, name, pred, optional=False):
+    """≙ hasProperty (Validator.purs:92-94)."""
+    if name not in obj:
+        return optional
+    return pred(obj[name])
+
+
+def _list6_elem(v):
+    return is_null(v) or is_bool(v) or is_num(v)
+
+
+# fixture base name → oracle predicate over the parsed JSON value
+ORACLES = {
+    "any": lambda v: True,
+    "null": is_null,
+    "boolean": is_bool,
+    "number": is_num,
+    "string": is_str,
+    "array": is_arr,
+    "object": is_obj,
+    "nullable-array": lambda v: is_arr(v) or is_null(v),
+    "nullable-boolean": lambda v: is_bool(v) or is_null(v),
+    "nullable-number": lambda v: is_num(v) or is_null(v),
+    "nullable-object": lambda v: is_obj(v) or is_null(v),
+    "nullable-string": lambda v: is_str(v) or is_null(v),
+    "stringVals": lambda v: is_str(v) and v in ("bar", "baz"),
+    "stringVals2": lambda v: is_str(v)
+    and v in ("accountant", "barber", "bishop", "baker"),
+    "list-1": lambda v: is_arr(v)
+    and all(is_num(x) or is_bool(x) or is_obj(x) for x in v),
+    "list-2": lambda v: is_arr(v)
+    and all(is_num(x) or is_bool(x) or is_obj(x) for x in v),
+    "list-3": lambda v: is_arr(v) and len(v) >= 2,
+    "list-4": lambda v: is_arr(v) and len(v) <= 5,
+    "list-5": lambda v: is_arr(v) and 3 <= len(v) <= 5,
+    "list-6": lambda v: is_arr(v) and 2 <= len(v) <= 3 and all(map(_list6_elem, v)),
+    "list-7": lambda v: is_arr(v) and 2 <= len(v) <= 3 and all(map(_list6_elem, v)),
+    "2-tuple": lambda v: is_arr(v)
+    and len(v) == 2
+    and (is_obj(v[0]) or is_null(v[0]))
+    and (is_str(v[1]) or is_num(v[1])),
+    "3-tuple": lambda v: is_arr(v)
+    and len(v) == 3
+    and (is_num(v[0]) or is_arr(v[0]))
+    and is_bool(v[1]),
+    "1-property-no-additional-1": lambda v: is_obj(v)
+    and set(v) <= {"foo"}
+    and has_prop(v, "foo", is_bool),
+    "1-property-no-additional-2": lambda v: is_obj(v)
+    and set(v) <= {"foo"}
+    and has_prop(v, "foo", is_null),
+    "1-property-no-additional-3": lambda v: is_obj(v)
+    and set(v) <= {"foo"}
+    and has_prop(v, "foo", is_arr, optional=True),
+    "1-property-additional-1": lambda v: is_obj(v) and has_prop(v, "foo", is_str),
+    "1-property-additional-2": lambda v: is_obj(v) and has_prop(v, "foo", is_num),
+    "1-property-additional-3": lambda v: is_obj(v)
+    and has_prop(v, "foo", is_obj, optional=True),
+    "3-property-no-additional-1": lambda v: is_obj(v)
+    and set(v) <= {"foo", "bar", "bazz"}
+    and has_prop(v, "foo", lambda x: is_num(x) or is_arr(x))
+    and "bar" in v
+    and has_prop(v, "bazz", lambda x: is_null(x) or is_bool(x)),
+    "3-property-no-additional-2": lambda v: is_obj(v)
+    and set(v) <= {"foo", "bar", "bazz"}
+    and has_prop(v, "foo", lambda x: is_num(x) or is_arr(x), optional=True)
+    and "bar" in v
+    and has_prop(v, "bazz", lambda x: is_null(x) or is_bool(x)),
+    "3-property-additional-allowed-1": lambda v: is_obj(v)
+    and has_prop(v, "foo", is_bool)
+    and "bar" in v
+    and has_prop(v, "bazz", is_str),
+    "3-property-additional-allowed-2": lambda v: is_obj(v)
+    and has_prop(v, "foo", is_num, optional=True)
+    and "bar" in v
+    and has_prop(v, "bazz", is_null),
+    "map-number-bool": lambda v: is_obj(v)
+    and all(is_num(x) or is_bool(x) for x in v.values()),
+    "map-with-1-specified": lambda v: is_obj(v)
+    and has_prop(v, "foo", lambda x: is_arr(x) or is_obj(x))
+    and all(is_bool(x) or is_num(x) for k, x in v.items() if k != "foo"),
+    "map-with-2-specified": lambda v: is_obj(v)
+    and has_prop(v, "foo", lambda x: is_arr(x) or is_obj(x))
+    and all(is_bool(x) or is_num(x) for k, x in v.items() if k not in ("foo", "bazz")),
+}
+
+TARGETED = [
+    None, True, False, 0, 1, -3, 2.5, "", "foo", "bar", "baz", "accountant",
+    [], [1], [1, 2], [1, 2, 3], [None, True, 3], [1, 2, 3, 4, 5, 6],
+    [{}, "x"], [None, "s"], [3, True, "anything"],
+    {}, {"foo": True}, {"foo": "s"}, {"foo": 1}, {"foo": None}, {"foo": []},
+    {"foo": {}}, {"foo": True, "bar": 1}, {"bar": None},
+    {"foo": 1, "bar": "x", "bazz": None}, {"foo": True, "bar": 2, "bazz": "s"},
+    {"k1": 1, "k2": True}, {"k1": "nope"}, {"foo": [], "extra": 5},
+    {"foo": {}, "bazz": "whatever", "other": 7},
+]
+
+
+@pytest.mark.parametrize("fixture", sorted(ORACLES), ids=str)
+def test_validator_matches_oracle(fixture):
+    schema = load_schema_from_file(f"{CONF}/{fixture}.medea")
+    oracle = ORACLES[fixture]
+    rng = random.Random(42)
+    docs = [gen_json(rng) for _ in range(300)] + TARGETED
+    for v in docs:
+        doc = json.dumps(v)
+        got, err, _info = validate(schema, doc)
+        want = oracle(v)
+        assert got == want, f"{fixture}: {doc} engine={got} ({err}) oracle={want}"
+
+
+def test_not_json():
+    schema = load_schema_from_file(f"{CONF}/any.medea")
+    ok, err, _ = validate(schema, "{nope")
+    assert not ok and err == E.NOT_JSON
+
+
+def test_error_classes():
+    """Typed error taxonomy on the wire (Medea.purs:108-119). NB the
+    alternation folds errors with first-non-empty (Medea.purs:136-141),
+    so when validation enters through a CustomNode at top level, the
+    checkPrim branch's NotOneOfOptions wins over the custom branch's
+    inner error — matching the reference exactly."""
+    schema = load_schema_from_file(f"{CONF}/1-property-no-additional-1.medea")
+    # top-level entry is {CustomNode $start} ⇒ checkPrim error surfaces
+    assert validate(schema, '{"foo": true, "extra": 1}')[1] == E.NOT_ONE_OF_OPTIONS
+    assert validate(schema, "3")[1] == E.NOT_ONE_OF_OPTIONS
+    # direct checks (par known) surface the specific taxonomy entries
+    from medea_ps_spark.plans.medea.validate import Failure, _check_object, _check_array
+
+    with pytest.raises(Failure) as ex:
+        _check_object({"foo": True, "extra": 1}, "$start", schema)
+    assert ex.value.err == E.ADDITIONAL_PROP_BANNED
+    with pytest.raises(Failure) as ex:
+        _check_object({}, "$start", schema)
+    assert ex.value.err == E.REQUIRED_PROP_MISSING
+    lst = load_schema_from_file(f"{CONF}/list-5.medea")
+    with pytest.raises(Failure) as ex:
+        _check_array([1], "$start", lst)
+    assert ex.value.err == E.OUT_OF_BOUNDS_ARRAY_LENGTH
+
+
+def test_schema_information_annotation():
+    """Top-level SchemaInformation tag (Medea.purs:38-47)."""
+    schema = load_schema_from_file(f"{CONF}/2-tuple.medea")
+    ok, _, info = validate(schema, '[null, "s"]')
+    assert ok and info == "UserDefined:$start"
+    anys = load_schema_from_file(f"{CONF}/any.medea")
+    assert validate(anys, "17")[2] == "AnySchema"
