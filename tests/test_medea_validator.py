@@ -219,5 +219,8 @@ def test_schema_information_annotation():
     schema = load_schema_from_file(f"{CONF}/2-tuple.medea")
     ok, _, info = validate(schema, '[null, "s"]')
     assert ok and info == "UserDefined:$start"
+    # entry is always {CustomNode $start} (Medea.purs:153), and checkCustom
+    # re-tags with UserDefined (Medea.purs:330-333) — AnySchema only shows
+    # on inner nodes, never the root
     anys = load_schema_from_file(f"{CONF}/any.medea")
-    assert validate(anys, "17")[2] == "AnySchema"
+    assert validate(anys, "17")[2] == "UserDefined:$start"
