@@ -1,0 +1,185 @@
+"""Similarity search over embedding columns (array<float>).
+
+* brute-force cosine top-k — the exact baseline: broadcast the (small)
+  query set against the corpus; one scan, no corpus shuffle.
+* LSH-bucketed ANN (random hyperplanes / SRP) — the scale path: sign
+  bits of deterministic hyperplane projections form a bucket key;
+  candidates are bucket-local, then exact cosine re-ranks. Hyperplanes
+  derive from a seeded hash (pure function of (seed, plane, dim)), so
+  signatures are reproducible across runs and cluster sizes.
+* cosine near-duplicate pairs — embedding-space dedup via the same
+  buckets.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+from pyspark.sql import DataFrame, Window, functions as F
+
+from ..functions.vector import cosine, dot, norm
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast-join queries × corpus, window
+    row_number per query. Corpus never shuffles; cost is one scan ×
+    |queries| dot products, all codegen'd."""
+    q = queries.select(
+        F.col(query_id_col), F.col(vec_col).alias("_qvec")
+    )
+    scored = corpus.join(F.broadcast(q)).select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col(vec_col), F.col("_qvec")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
+    """Deterministic hyperplanes: standard-normal entries from a seeded
+    generator — pure function of (seed, n_planes, dim)."""
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def srp_signature(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 16,
+    seed: int = 42,
+):
+    """Signed-random-projection bucket id (int): bit p = sign of
+    <v, h_p>. Planes are plan literals; the projection is zip_with +
+    aggregate — JVM-side."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("bigint")
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[p]])
+        proj = dot(F.col(vec_col), plane)
+        bucket = bucket + F.when(
+            proj > 0, F.shiftleft(F.lit(1).cast("bigint"), p)
+        ).otherwise(F.lit(0).cast("bigint"))
+    return bucket
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """ANN: candidates = corpus rows sharing an SRP bucket with the query
+    in ANY of n_tables independent tables; exact cosine re-rank on the
+    (much smaller) candidate set. Recall grows with n_tables; the
+    bucket join shuffles only (bucket, id) pairs."""
+    c_b = corpus
+    q_b = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+    cand = None
+    for t in range(n_tables):
+        cb = c_b.withColumn(
+            "_bucket", srp_signature(c_b, vec_col, dim, n_planes, seed + 1000 * t)
+        ).select(id_col, vec_col, "_bucket")
+        qb = q_b.withColumn(
+            "_bucket", _srp_on(F.col("_qvec"), dim, n_planes, seed + 1000 * t)
+        )
+        pairs = cb.join(F.broadcast(qb), "_bucket").select(
+            query_id_col, id_col, vec_col, "_qvec"
+        )
+        cand = pairs if cand is None else cand.unionByName(pairs)
+    cand = cand.dropDuplicates([query_id_col, id_col])
+    scored = cand.select(
+        F.col(query_id_col),
+        F.col(id_col).alias("neighbor_id"),
+        cosine(F.col(vec_col), F.col("_qvec")).alias("cosine_sim"),
+    )
+    w = Window.partitionBy(query_id_col).orderBy(
+        F.desc("cosine_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id_col, "neighbor_id", "cosine_sim", "rank")
+    )
+
+
+def _srp_on(vec, dim: int, n_planes: int, seed: int):
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("bigint")
+    for p in range(n_planes):
+        plane = F.array(*[F.lit(float(x)) for x in planes[p]])
+        proj = dot(vec, plane)
+        bucket = bucket + F.when(
+            proj > 0, F.shiftleft(F.lit(1).cast("bigint"), p)
+        ).otherwise(F.lit(0).cast("bigint"))
+    return bucket
+
+
+def cosine_near_duplicates(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    exact: bool = False,
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs (id_a < id_b, sim ≥ threshold).
+    exact=True does the full O(n²) self-join (small n / oracle parity);
+    default uses SRP buckets for candidates."""
+    v = df.select(F.col(id_col), F.col(vec_col))
+
+    def flat(joined) -> DataFrame:
+        return joined.select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("_va"),
+            F.col(f"b.{vec_col}").alias("_vb"),
+        )
+
+    if exact:
+        a, b = v.alias("a"), v.alias("b")
+        pairs = flat(a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+    else:
+        cand = None
+        for t in range(n_tables):
+            bt = v.withColumn(
+                "_bucket", _srp_on(F.col(vec_col), dim, n_planes, seed + 1000 * t)
+            )
+            a, b = bt.alias("a"), bt.alias("b")
+            p = flat(
+                a.join(
+                    b,
+                    (F.col("a._bucket") == F.col("b._bucket"))
+                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+                )
+            )
+            cand = p if cand is None else cand.unionByName(p)
+        pairs = cand.dropDuplicates(["id_a", "id_b"])
+    out = pairs.select(
+        "id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cosine_sim")
+    )
+    return out.where(F.col("cosine_sim") >= threshold)

@@ -1,0 +1,217 @@
+"""Distribution sketches: equi-width histograms (pure SQL expressions,
+codegen'd) and t-digests (Arrow-vectorized applyInPandas per partition,
+merged associatively — the treeAggregate pattern).
+
+North-rule operators (SURVEY.md §2D): histogram sketches feed the
+chi-square/KS drift tests in operators/drift.py; t-digest gives
+mergeable quantiles for n_tok / token-value monitoring at 10^12-row
+scale where exact quantiles are impossible.
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+from pyspark.sql import DataFrame, functions as F
+
+
+def bucket_expr(column, lo: float, hi: float, nbuckets: int):
+    """Equi-width bucket index in [0, nbuckets-1], clamped at the edges.
+    Fixed edges ⇒ deterministic χ² bucketing (SURVEY.md §7)."""
+    width = (hi - lo) / nbuckets
+    raw = F.floor((F.col(column).cast("double") - F.lit(lo)) / F.lit(width))
+    return F.least(F.greatest(raw, F.lit(0)), F.lit(nbuckets - 1)).cast("int")
+
+
+def histogram(
+    df: DataFrame,
+    column: str,
+    lo: float,
+    hi: float,
+    nbuckets: int = 64,
+    partition_col: Optional[str] = None,
+) -> DataFrame:
+    """Bucket counts in one hash-agg pass (map-side partial ⇒ the shuffle
+    carries ≤ nbuckets × partitions rows)."""
+    b = bucket_expr(column, lo, hi, nbuckets).alias("bucket")
+    keys = ([partition_col] if partition_col else []) + ["bucket"]
+    return (
+        df.where(F.col(column).isNotNull())
+        .select(*(([F.col(partition_col)] if partition_col else []) + [b]))
+        .groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("bucket_count"))
+    )
+
+
+def token_histogram(
+    df: DataFrame,
+    array_column: str = "tokens",
+    vocab: int = 50257,
+    nbuckets: int = 64,
+) -> DataFrame:
+    """Token-VALUE distribution: explode is pipelined into the partial
+    agg (no materialized exploded table; the shuffle is nbuckets rows
+    per task)."""
+    tok = F.explode(F.col(array_column)).alias("tok")
+    return (
+        df.select(tok)
+        .select(bucket_expr("tok", 0, vocab, nbuckets).alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("bucket_count"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# t-digest (merging digest, Dunning & Ertl) — compact numpy implementation
+# ---------------------------------------------------------------------------
+
+
+class TDigest:
+    """Mergeable quantile sketch. Centroids kept sorted by mean; the
+    scale function is the classic k1 (arcsine) bound via the simpler
+    q(1-q) size limit. Accuracy ~1/compression at the median, better at
+    the tails — ample for drift monitoring."""
+
+    __slots__ = ("compression", "means", "weights")
+
+    def __init__(self, compression: int = 100):
+        self.compression = compression
+        self.means = np.empty(0, dtype=np.float64)
+        self.weights = np.empty(0, dtype=np.float64)
+
+    @property
+    def total_weight(self) -> float:
+        return float(self.weights.sum()) if len(self.weights) else 0.0
+
+    @classmethod
+    def from_values(cls, values: np.ndarray, compression: int = 100) -> "TDigest":
+        d = cls(compression)
+        v = np.asarray(values, dtype=np.float64)
+        v = v[~np.isnan(v)]
+        if len(v) == 0:
+            return d
+        d.means = np.sort(v)
+        d.weights = np.ones_like(d.means)
+        d._compress()
+        return d
+
+    def merge(self, other: "TDigest") -> "TDigest":
+        out = TDigest(self.compression)
+        out.means = np.concatenate([self.means, other.means])
+        out.weights = np.concatenate([self.weights, other.weights])
+        order = np.argsort(out.means, kind="mergesort")
+        out.means, out.weights = out.means[order], out.weights[order]
+        out._compress()
+        return out
+
+    def _compress(self) -> None:
+        n = self.total_weight
+        if n == 0 or len(self.means) <= 1:
+            return
+        new_means: List[float] = []
+        new_weights: List[float] = []
+        cum = 0.0
+        cur_mean, cur_w = self.means[0], self.weights[0]
+        for m, w in zip(self.means[1:], self.weights[1:]):
+            q = (cum + cur_w / 2.0) / n
+            limit = max(1.0, 4.0 * n * q * (1.0 - q) / self.compression)
+            if cur_w + w <= limit:
+                cur_mean = (cur_mean * cur_w + m * w) / (cur_w + w)
+                cur_w += w
+            else:
+                new_means.append(cur_mean)
+                new_weights.append(cur_w)
+                cum += cur_w
+                cur_mean, cur_w = m, w
+        new_means.append(cur_mean)
+        new_weights.append(cur_w)
+        self.means = np.array(new_means)
+        self.weights = np.array(new_weights)
+
+    def quantile(self, q: float) -> float:
+        if len(self.means) == 0:
+            return float("nan")
+        if len(self.means) == 1:
+            return float(self.means[0])
+        n = self.total_weight
+        target = q * n
+        cum = np.cumsum(self.weights) - self.weights / 2.0
+        idx = np.searchsorted(cum, target)
+        if idx == 0:
+            return float(self.means[0])
+        if idx >= len(self.means):
+            return float(self.means[-1])
+        x0, x1 = cum[idx - 1], cum[idx]
+        m0, m1 = self.means[idx - 1], self.means[idx]
+        frac = (target - x0) / (x1 - x0) if x1 > x0 else 0.0
+        return float(m0 + frac * (m1 - m0))
+
+    # stable binary codec (SURVEY.md §7 "stable binary codec inside
+    # Arrow UDFs"): version byte + compression + centroid pairs
+    def to_bytes(self) -> bytes:
+        head = struct.pack("<BId", 1, self.compression, float(len(self.means)))
+        body = np.stack([self.means, self.weights]).astype("<f8").tobytes()
+        return head + body
+
+    @classmethod
+    def from_bytes(cls, blob: bytes) -> "TDigest":
+        ver, comp, k = struct.unpack_from("<BId", blob, 0)
+        if ver != 1:
+            raise ValueError(f"unknown tdigest codec version {ver}")
+        k = int(k)
+        d = cls(comp)
+        arr = np.frombuffer(blob, dtype="<f8", offset=struct.calcsize("<BId"))
+        d.means = arr[:k].copy()
+        d.weights = arr[k:2 * k].copy()
+        return d
+
+
+def tdigest_by_partition(
+    df: DataFrame,
+    column: str,
+    partition_col: str = "source",
+    compression: int = 100,
+) -> DataFrame:
+    """One serialized t-digest per partition via applyInPandas (Arrow
+    batch in, one tiny row out — the only Python boundary, per
+    input_hint 'no per-row Python')."""
+    import pandas as pd
+
+    def build(pdf: pd.DataFrame) -> pd.DataFrame:
+        d = TDigest.from_values(pdf[column].to_numpy(dtype=np.float64), compression)
+        return pd.DataFrame(
+            {
+                partition_col: [pdf[partition_col].iloc[0]],
+                "tdigest": [d.to_bytes()],
+                "n": [len(pdf)],
+            }
+        )
+
+    out_schema = f"{partition_col} string, tdigest binary, n bigint"
+    return df.select(partition_col, column).groupBy(partition_col).applyInPandas(
+        build, schema=out_schema
+    )
+
+
+def merge_tdigests(rows: Sequence[bytes], compression: int = 100) -> TDigest:
+    """Driver-side associative merge of per-partition digests."""
+    acc = TDigest(compression)
+    for blob in rows:
+        acc = acc.merge(TDigest.from_bytes(bytes(blob)))
+    return acc
+
+
+def quantiles(
+    df: DataFrame,
+    column: str,
+    qs: Sequence[float],
+    partition_col: str = "source",
+    compression: int = 200,
+) -> List[Tuple[float, float]]:
+    """End-to-end distributed quantiles: per-partition digests → merge →
+    query."""
+    rows = tdigest_by_partition(df, column, partition_col, compression).collect()
+    d = merge_tdigests([r["tdigest"] for r in rows], compression)
+    return [(q, d.quantile(q)) for q in qs]

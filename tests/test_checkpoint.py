@@ -1,0 +1,97 @@
+"""Resume tests (SURVEY.md §5): kill after partition k, restart, verify
+manifest skip + identical final verdicts; changed constraint set
+invalidates checkpoints."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from medea_ps_spark.operators.checkpoint import CheckpointedRun, Manifest
+from medea_ps_spark.sources import synthetic
+
+
+@pytest.fixture(scope="module")
+def table_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("seq") / "sequences")
+    df = synthetic.sequences(spark, 3_000, seed=5)
+    df.write.mode("overwrite").partitionBy("source").parquet(p)
+    return p
+
+
+def _process(df, out_dir):
+    n = df.count()
+    bad = df.where(F.col("n_tok") != F.size("tokens")).count()
+    return {"n_rows": n, "n_bad": bad}
+
+
+def test_run_then_resume_skips_done(spark, table_path, tmp_path):
+    ck = str(tmp_path / "ck")
+    run1 = CheckpointedRun(spark, table_path, ck, fingerprint="abc")
+    res1 = run1.run(_process)
+    assert len(res1) == len(run1.partitions()) > 3
+    # resume: nothing pending, no partition re-processed
+    run2 = CheckpointedRun(spark, table_path, ck, fingerprint="abc")
+    assert run2.pending_partitions() == []
+    res2 = run2.run(_process)
+    assert res2 == {}
+    # manifest metrics identical to first run
+    assert {k: v.metrics for k, v in run2.manifest.entries.items()} == res1
+
+
+def test_interrupt_mid_run_resumes_rest(spark, table_path, tmp_path):
+    ck = str(tmp_path / "ck2")
+    calls = []
+
+    class Boom(Exception):
+        pass
+
+    def flaky(df, out_dir):
+        if len(calls) == 2:
+            raise Boom()
+        calls.append(1)
+        return _process(df, out_dir)
+
+    run1 = CheckpointedRun(spark, table_path, ck, fingerprint="abc")
+    with pytest.raises(Boom):
+        run1.run(flaky)
+    done_before = [k for k, v in run1.manifest.entries.items() if v.status == "done"]
+    assert len(done_before) == 2
+    # resume processes only the remainder; union of metrics == full run
+    run2 = CheckpointedRun(spark, table_path, ck, fingerprint="abc")
+    rest = run2.run(_process)
+    assert set(done_before).isdisjoint(rest)
+    full = CheckpointedRun(spark, table_path, str(tmp_path / "ck3"), "abc").run(_process)
+    combined = {k: v.metrics for k, v in run2.manifest.entries.items()}
+    assert combined == full
+
+
+def test_changed_fingerprint_invalidates(spark, table_path, tmp_path):
+    ck = str(tmp_path / "ck4")
+    CheckpointedRun(spark, table_path, ck, fingerprint="v1").run(_process)
+    run2 = CheckpointedRun(spark, table_path, ck, fingerprint="v2")
+    assert len(run2.pending_partitions()) == len(run2.partitions())
+
+
+def test_changed_data_invalidates_partition(spark, table_path, tmp_path):
+    ck = str(tmp_path / "ck5")
+    run1 = CheckpointedRun(spark, table_path, ck, fingerprint="x")
+    run1.run(_process)
+    # touch one partition's data → only that partition pending
+    part = run1.partitions()[0]
+    pdir = os.path.join(table_path, f"source={part}")
+    victim = next(
+        os.path.join(pdir, f) for f in os.listdir(pdir) if f.endswith(".parquet")
+    )
+    with open(victim, "ab") as fh:
+        fh.write(b"0")
+    run2 = CheckpointedRun(spark, table_path, ck, fingerprint="x")
+    assert run2.pending_partitions() == [part]
+
+
+def test_manifest_roundtrip(tmp_path):
+    m = Manifest("r", "t", "source", "fp")
+    m2 = Manifest.from_json(m.to_json())
+    assert m2.run_id == "r" and m2.fingerprint == "fp"
