@@ -1,38 +1,722 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship validation pipeline at sf0.001.
+``queries()`` — one entry per operator family from SURVEY.md §2
+(constraint validation, stats, uniqueness, referential, histogram,
+drift, Medea-language validation, dedup family, ANN, text analysis,
+plus general agg/join breadth). ``oracle_sql()`` — matching DuckDB SQL;
+omitted only for hash-seeded operators DuckDB cannot reproduce
+(xxhash64 minhash/simhash, synthetic-sequence fixtures) — those get the
+driver's rows-only check.
+
+Column names and value roundings are aligned pairwise between the Spark
+plans and the SQL so the driver's order-insensitive value-hash matches.
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from medea_ps_spark.functions.vector import cosine
+from medea_ps_spark.operators import validator as V
+from medea_ps_spark.operators import dedup as DD
+from medea_ps_spark.operators import similarity as SIM
+from medea_ps_spark.plans.compiler import Registry
+from medea_ps_spark.plans.constraints import (
+    ConstraintSet,
+    Expr,
+    InRange,
+    IsIn,
+    Matches,
+    NotNull,
+    ReferentialIn,
+    Unique,
+)
+
+SF_DEFAULT = "/root/testdata/sf0.001"
+
+ALLOWED_LANGS = ["en", "es", "de", "fr"]  # zh intentionally excluded → violations
+ALLOWED_SRC = [f"src{i}" for i in range(16)]  # src16..19 → referential violations
+NCHARS_HI = 300  # docs longer than this violate → non-trivial verdicts
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _registry() -> Registry:
+    """The flagship ConstraintSet over the documents corpus — one
+    constraint per Medea-generalization family (SURVEY.md §1.4)."""
+    reg = Registry()
+    reg.register(
+        ConstraintSet(
+            "$start",
+            [
+                NotNull("doc_id_not_null", "doc_id"),
+                Expr(
+                    "n_chars_consistent",
+                    sql="n_chars = length(text)",
+                    observed_sql="concat(cast(n_chars as string), ' != ', cast(length(text) as string))",
+                ),
+                InRange("n_chars_bounds", "n_chars", 1, NCHARS_HI),
+                IsIn("lang_allowed", "lang", ALLOWED_LANGS),
+                Matches("source_format", "source", r"^src[0-9]+$"),
+                ReferentialIn("source_known", "source", dim_values=ALLOWED_SRC),
+                Unique("doc_id_unique", "doc_id"),
+            ],
+        )
+    )
+    return reg
+
+
+def _validated(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    compiled = _registry().compile(df.schema)
+    return df, compiled
+
+
+# SQL predicates mirroring the compiled constraints (for oracles)
+_P_NCHARS = f"(n_chars >= 1 AND n_chars <= {NCHARS_HI})"
+_P_LANG = "lang IN ('en','es','de','fr')"
+_P_SRC_FMT = "regexp_matches(source, '^src[0-9]+$')"
+_SRC_LIST = ",".join(f"'{s}'" for s in ALLOWED_SRC)
+_P_SRC_KNOWN = f"source IN ({_SRC_LIST})"
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: full validation of the sf0.001 documents corpus —
+    row-level + table-level violation rows in one pipeline."""
+    df, compiled = _validated(spark, SF_DEFAULT)
+    return V.all_violations(df, compiled, id_column="doc_id")
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+
+def q_validate_violations(spark, sf_dir):
+    df, compiled = _validated(spark, sf_dir)
+    return V.all_violations(df, compiled, id_column="doc_id").select(
+        "doc_id", "constraint_id", "observed"
+    )
+
+
+def q_validate_verdicts(spark, sf_dir):
+    df, compiled = _validated(spark, sf_dir)
+    validated = V.validate(df, compiled)
+    return V.partition_verdicts(validated, "source").select(
+        "source", "n_rows", "n_passed", "n_failed", "n_violations"
+    )
+
+
+def q_partition_stats(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+        F.round(F.avg(F.col("n_chars").cast("double")), 4).alias("avg_chars"),
+        F.sum(F.col("doc_id").isNull().cast("bigint")).alias("n_null_ids"),
+    )
+
+
+def q_unique_violations(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    return (
+        df.groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+        .select("doc_id", "n_copies")
+    )
+
+
+def q_referential_violations(spark, sf_dir):
+    df, compiled = _validated(spark, sf_dir)
+    c = next(c for c in compiled.table_constraints if c.name == "source_known")
+    return V.referential_violations(df, c, id_column="doc_id").select(
+        "doc_id", "observed"
+    )
+
+
+def q_histogram_n_chars(spark, sf_dir):
+    from medea_ps_spark.operators.sketches import histogram
+
+    df = _docs(spark, sf_dir)
+    return histogram(df, "n_chars", 0, 800, 16).select(
+        "bucket", "bucket_count"
+    )
+
+
+def q_drift_chi2(spark, sf_dir):
+    """Two-sample χ² between even/odd doc_id halves over n_chars buckets
+    — fully in SQL aggregation (the sketch path); stat rounded."""
+    from medea_ps_spark.operators.sketches import bucket_expr
+
+    df = _docs(spark, sf_dir)
+    h = (
+        df.withColumn("bucket", bucket_expr("n_chars", 0, 800, 16))
+        .groupBy("bucket")
+        .agg(
+            F.sum((F.col("doc_id") % 2 == 0).cast("bigint")).alias("o1"),
+            F.sum((F.col("doc_id") % 2 == 1).cast("bigint")).alias("o2"),
+        )
+    )
+    tot = h.agg(
+        F.sum("o1").alias("n1"), F.sum("o2").alias("n2")
+    )
+    stat = (
+        h.crossJoin(tot)
+        .where(F.col("o1") + F.col("o2") > 0)
+        .select(
+            (
+                F.pow(
+                    F.sqrt(F.col("n2") / F.col("n1")) * F.col("o1")
+                    - F.sqrt(F.col("n1") / F.col("n2")) * F.col("o2"),
+                    F.lit(2.0),
+                )
+                / (F.col("o1") + F.col("o2"))
+            ).alias("term")
+        )
+        .agg(F.round(F.sum("term"), 4).alias("chi2_stat"))
+    )
+    return stat
+
+
+def q_ks_stat(spark, sf_dir):
+    """Binned KS distance between the n_chars distributions of lang=en
+    vs lang=es — windowed cumulative sums, one agg + one window."""
+    from pyspark.sql import Window
+    from medea_ps_spark.operators.sketches import bucket_expr
+
+    df = _docs(spark, sf_dir)
+    h = (
+        df.where(F.col("lang").isin("en", "es"))
+        .withColumn("bucket", bucket_expr("n_chars", 0, 800, 32))
+        .groupBy("bucket")
+        .agg(
+            F.sum((F.col("lang") == "en").cast("bigint")).alias("c_en"),
+            F.sum((F.col("lang") == "es").cast("bigint")).alias("c_es"),
+        )
+    )
+    w = Window.orderBy("bucket").rowsBetween(Window.unboundedPreceding, 0)
+    cdf = h.select(
+        (F.sum("c_en").over(w)).alias("cum_en"),
+        (F.sum("c_es").over(w)).alias("cum_es"),
+    )
+    tot = cdf.agg(F.max("cum_en").alias("n_en"), F.max("cum_es").alias("n_es"))
+    return (
+        cdf.crossJoin(tot)
+        .select(
+            F.abs(
+                F.col("cum_en") / F.col("n_en") - F.col("cum_es") / F.col("n_es")
+            ).alias("d")
+        )
+        .agg(F.round(F.max("d"), 6).alias("ks_stat"))
+    )
+
+
+MEDEA_EVENT_SCHEMA = """$schema $start
+    $type
+        $object
+    $properties
+        $property-name "k"
+        $property-schema $number
+"""
+
+
+def q_medea_validate_events(spark, sf_dir):
+    """The Medea language running distributed: validate events.props
+    (JSON) against a Medea schema via the Arrow-batched validator."""
+    from medea_ps_spark.plans.medea.validate import validate_json_column
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = validate_json_column(ev, "props", MEDEA_EVENT_SCHEMA)
+    return out.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("medea_valid").cast("bigint")).alias("n_valid"),
+    )
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact-dedup canonical mapping over normalized-text fingerprints:
+    per fingerprint the kept (min) doc_id and copy count — nonzero
+    output even on a dup-free corpus, dup rows when present."""
+    df = _docs(spark, sf_dir)
+    return (
+        DD_fingerprints(df)
+        .groupBy("fingerprint")
+        .agg(
+            F.min("doc_id").alias("canonical_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_distinct_texts"),
+            F.sum(F.col("n_copies") - 1).alias("n_duplicates"),
+            F.round(F.avg("canonical_id"), 4).alias("avg_canonical_id"),
+        )
+    )
+
+
+def DD_fingerprints(df):
+    from medea_ps_spark.functions.text import fingerprint
+
+    return df.select(F.col("doc_id"), fingerprint(F.col("text")).alias("fingerprint"))
+
+
+def q_dedup_ngram_jaccard(spark, sf_dir):
+    df = _docs(spark, sf_dir).where(F.col("doc_id") < 120)
+    pairs = DD.ngram_jaccard_pairs(df, "text", "doc_id", shingle_k=3, threshold=0.12)
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard")
+    )
+
+
+def q_dedup_minhash_lsh(spark, sf_dir):
+    """MinHash+LSH near-dup candidates (xxhash64-seeded — no SQL oracle;
+    rows-only check). Verified against exact Jaccard in unit tests."""
+    df = _docs(spark, sf_dir).where(F.col("doc_id") < 500)
+    return DD.minhash_near_duplicates(
+        df, num_hashes=32, bands=16, threshold=0.1, shingle_k=3
+    )
+
+
+def q_dedup_simhash(spark, sf_dir):
+    """SimHash fingerprints + near-dup pairs (rows-only check)."""
+    df = _docs(spark, sf_dir).where(F.col("doc_id") < 500)
+    return DD.simhash_near_duplicates(df, max_hamming=12)
+
+
+def q_ann_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    corpus = emb.where(F.col("vec_id") >= 8)
+    topk = SIM.brute_force_topk(corpus, queries, k=3)
+    return topk.select(
+        "query_id",
+        "neighbor_id",
+        F.round(F.col("cosine_sim"), 4).alias("cosine_sim"),
+        "rank",
+    )
+
+
+def q_embedding_near_dups(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    pairs = SIM.cosine_near_duplicates(
+        emb.where(F.col("vec_id") < 200), threshold=0.25, exact=True
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("cosine_sim"), 4).alias("cosine_sim")
+    )
+
+
+def q_ann_lsh(spark, sf_dir):
+    """SRP-LSH ANN (seeded hyperplanes; rows-only — recall vs exact is
+    unit-tested)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return SIM.lsh_topk(
+        emb.where(F.col("vec_id") >= 8), queries, k=3, n_planes=6, n_tables=6
+    )
+
+
+def q_text_token_stats(spark, sf_dir):
+    from medea_ps_spark.functions.text import token_count
+
+    df = _docs(spark, sf_dir)
+    return df.groupBy("lang").agg(
+        F.sum(token_count(F.col("text")).cast("bigint")).alias("total_tokens"),
+        F.round(F.avg(token_count(F.col("text")).cast("double")), 4).alias(
+            "avg_tokens"
+        ),
+    )
+
+
+def q_text_quality(spark, sf_dir):
+    from medea_ps_spark.operators.textquality import quality_features
+
+    df = quality_features(_docs(spark, sf_dir))
+    return df.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col("quality_ok").cast("bigint")).alias("n_quality_ok"),
+        F.round(F.avg("punct_ratio"), 6).alias("avg_punct_ratio"),
+    )
+
+
+def q_text_en_markers(spark, sf_dir):
+    """Language-ID signal: English function-word hits vs labeled lang."""
+    from medea_ps_spark.functions.text import whitespace_tokens
+
+    df = _docs(spark, sf_dir)
+    en = ["the", "and", "of", "to", "is", "that", "with", "for"]
+    hits = F.size(
+        F.filter(whitespace_tokens(F.lower(F.col("text"))), lambda t: t.isin(en))
+    )
+    return df.groupBy("lang").agg(
+        F.sum(hits.cast("bigint")).alias("en_hits"),
+        F.sum((hits > 0).cast("bigint")).alias("docs_with_en_hits"),
+    )
+
+
+def q_text_fingerprints(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    return (
+        DD_fingerprints(df)
+        .groupBy()
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.count_distinct(F.col("fingerprint")).alias("n_distinct"),
+        )
+    )
+
+
+def q_lineitem_pricing(spark, sf_dir):
+    """TPC-H Q1-style rollup — engine breadth + bench headline."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+def q_orders_by_segment(spark, sf_dir):
+    """Broadcast join breadth: orders × customer revenue by segment."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+def q_events_activity(spark, sf_dir):
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.count_distinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
+def q_seq_validation(spark, sf_dir):
+    """The BASELINE.json hot path on the synthetic tokenized-sequence
+    table (deterministic xxhash64 fixture → rows-only check)."""
+    from medea_ps_spark.sources import synthetic
+    from tests.test_validator_spark import baseline_registry  # reuse the set
+
+    df = synthetic.sequences(spark, 50_000, seed=42)
+    compiled = baseline_registry().compile(df.schema)
+    validated = V.validate(df, compiled)
+    return V.partition_verdicts(validated, "source")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "validate_violations": q_validate_violations,
+        "validate_verdicts": q_validate_verdicts,
+        "partition_stats": q_partition_stats,
+        "unique_violations": q_unique_violations,
+        "referential_violations": q_referential_violations,
+        "histogram_n_chars": q_histogram_n_chars,
+        "drift_chi2": q_drift_chi2,
+        "ks_stat": q_ks_stat,
+        "medea_validate_events": q_medea_validate_events,
+        "dedup_exact": q_dedup_exact,
+        "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
+        "dedup_minhash_lsh": q_dedup_minhash_lsh,
+        "dedup_simhash": q_dedup_simhash,
+        "ann_topk": q_ann_topk,
+        "ann_lsh": q_ann_lsh,
+        "embedding_near_dups": q_embedding_near_dups,
+        "text_token_stats": q_text_token_stats,
+        "text_quality": q_text_quality,
+        "text_en_markers": q_text_en_markers,
+        "text_fingerprints": q_text_fingerprints,
+        "lineitem_pricing": q_lineitem_pricing,
+        "orders_by_segment": q_orders_by_segment,
+        "events_activity": q_events_activity,
+        "seq_validation": q_seq_validation,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracles (DuckDB SQL on the same parquet views)
+# ---------------------------------------------------------------------------
+
+_NORM = "regexp_replace(lower(text), '\\s+', ' ', 'g')"
+_FP = f"md5(trim({_NORM}))"
+_TOKS = "string_split(regexp_replace(trim(text), '\\s+', ' ', 'g'), ' ')"
+_NTOK = f"(CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len({_TOKS}) END)"
+
+_VIOL_SQL = f"""
+SELECT doc_id, 'doc_id_not_null' AS constraint_id, 'null' AS observed
+  FROM documents WHERE doc_id IS NULL
+UNION ALL
+SELECT doc_id, 'n_chars_consistent',
+       concat(CAST(n_chars AS VARCHAR), ' != ', CAST(length(text) AS VARCHAR))
+  FROM documents WHERE NOT coalesce(n_chars = length(text), TRUE)
+UNION ALL
+SELECT doc_id, 'n_chars_bounds', CAST(n_chars AS VARCHAR)
+  FROM documents WHERE NOT coalesce({_P_NCHARS}, TRUE)
+UNION ALL
+SELECT doc_id, 'lang_allowed', CAST(lang AS VARCHAR)
+  FROM documents WHERE NOT coalesce({_P_LANG}, TRUE)
+UNION ALL
+SELECT doc_id, 'source_format', CAST(source AS VARCHAR)
+  FROM documents WHERE NOT coalesce({_P_SRC_FMT}, TRUE)
+UNION ALL
+SELECT doc_id, 'source_known', coalesce(CAST(source AS VARCHAR), 'null')
+  FROM documents WHERE source NOT IN ({_SRC_LIST}) OR source IS NULL
+UNION ALL
+SELECT d.doc_id, 'doc_id_unique',
+       concat(CAST(d.doc_id AS VARCHAR), ' (count=', CAST(g.cnt AS VARCHAR), ')')
+  FROM documents d
+  JOIN (SELECT doc_id, count(*) cnt FROM documents
+         WHERE doc_id IS NOT NULL GROUP BY doc_id HAVING count(*) > 1) g
+    ON d.doc_id = g.doc_id
+"""
+
+_ROW_FAIL = (
+    f"(doc_id IS NULL OR NOT coalesce(n_chars = length(text), TRUE) OR "
+    f"NOT coalesce({_P_NCHARS}, TRUE) OR NOT coalesce({_P_LANG}, TRUE) OR "
+    f"NOT coalesce({_P_SRC_FMT}, TRUE))"
+)
+_N_VIOL = (
+    f"(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END + "
+    f"CASE WHEN NOT coalesce(n_chars = length(text), TRUE) THEN 1 ELSE 0 END + "
+    f"CASE WHEN NOT coalesce({_P_NCHARS}, TRUE) THEN 1 ELSE 0 END + "
+    f"CASE WHEN NOT coalesce({_P_LANG}, TRUE) THEN 1 ELSE 0 END + "
+    f"CASE WHEN NOT coalesce({_P_SRC_FMT}, TRUE) THEN 1 ELSE 0 END)"
+)
+
+_BUCKET = (
+    "CAST(least(greatest(CAST(floor((CAST(n_chars AS DOUBLE) - 0.0) / {w}) "
+    "AS BIGINT), 0), {top}) AS INT)"
+)
+
+_SHINGLES = (
+    "list_transform(generate_series(1, greatest(len(_toks)-2, 0)), "
+    "i -> concat_ws(' ', _toks[i], _toks[i+1], _toks[i+2]))"
+)
+
+_DOT = "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
+_NRM = lambda s: f"sqrt(list_dot_product({s}.embedding::DOUBLE[], {s}.embedding::DOUBLE[]))"
+_COS = f"({_DOT} / ({_NRM('a')} * {_NRM('b')}))"
+
+_PUNCT_RATIO = (
+    "(CASE WHEN length(text) = 0 THEN 0.0 ELSE "
+    "CAST(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) AS DOUBLE) "
+    "/ length(text) END)"
+)
+_MEAN_TOK_LEN = (
+    f"(CASE WHEN {_NTOK} = 0 THEN 0.0 ELSE "
+    f"CAST(length(regexp_replace(text, '\\s+', '', 'g')) AS DOUBLE) / {_NTOK} END)"
+)
+_QUALITY_OK = (
+    f"({_NTOK} >= 5 AND {_PUNCT_RATIO} <= 0.3 "
+    f"AND {_MEAN_TOK_LEN} BETWEEN 2.0 AND 12.0)"
+)
+
+_EN_LIST = "['the','and','of','to','is','that','with','for']"
+_EN_HITS = (
+    "len(list_filter(string_split(regexp_replace(trim(lower(text)), "
+    f"'\\s+', ' ', 'g'), ' '), t -> list_contains({_EN_LIST}, t)))"
+)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    w16 = 800.0 / 16
+    w32 = 800.0 / 32
+    b16 = _BUCKET.format(w=w16, top=15)
+    b32 = _BUCKET.format(w=w32, top=31)
+    return {
+        "validate_violations": _VIOL_SQL,
+        "validate_verdicts": f"""
+            SELECT source,
+                   count(*) AS n_rows,
+                   sum(CASE WHEN NOT {_ROW_FAIL} THEN 1 ELSE 0 END) AS n_passed,
+                   sum(CASE WHEN {_ROW_FAIL} THEN 1 ELSE 0 END) AS n_failed,
+                   sum({_N_VIOL}) AS n_violations
+            FROM documents GROUP BY source
+        """,
+        "partition_stats": """
+            SELECT lang, count(*) AS n_rows,
+                   min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+                   round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
+                   sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_null_ids
+            FROM documents GROUP BY lang
+        """,
+        "unique_violations": """
+            SELECT doc_id, count(*) AS n_copies FROM documents
+            GROUP BY doc_id HAVING count(*) > 1
+        """,
+        "referential_violations": f"""
+            SELECT doc_id, coalesce(CAST(source AS VARCHAR), 'null') AS observed
+            FROM documents WHERE source NOT IN ({_SRC_LIST}) OR source IS NULL
+        """,
+        "histogram_n_chars": f"""
+            SELECT {b16} AS bucket, count(*) AS bucket_count
+            FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+        """,
+        "drift_chi2": f"""
+            WITH h AS (
+              SELECT {b16} AS bucket,
+                     sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS o1,
+                     sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS o2
+              FROM documents GROUP BY 1
+            ), t AS (SELECT sum(o1) n1, sum(o2) n2 FROM h)
+            SELECT round(sum(
+                     pow(sqrt(CAST(n2 AS DOUBLE)/n1)*o1
+                         - sqrt(CAST(n1 AS DOUBLE)/n2)*o2, 2) / (o1+o2)
+                   ), 4) AS chi2_stat
+            FROM h, t WHERE o1 + o2 > 0
+        """,
+        "ks_stat": f"""
+            WITH h AS (
+              SELECT {b32} AS bucket,
+                     sum(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS c_en,
+                     sum(CASE WHEN lang='es' THEN 1 ELSE 0 END) AS c_es
+              FROM documents WHERE lang IN ('en','es') GROUP BY 1
+            ), cdf AS (
+              SELECT sum(c_en) OVER (ORDER BY bucket) AS cum_en,
+                     sum(c_es) OVER (ORDER BY bucket) AS cum_es
+              FROM h
+            ), t AS (SELECT max(cum_en) n_en, max(cum_es) n_es FROM cdf)
+            SELECT round(max(abs(CAST(cum_en AS DOUBLE)/n_en
+                                 - CAST(cum_es AS DOUBLE)/n_es)), 6) AS ks_stat
+            FROM cdf, t
+        """,
+        "medea_validate_events": """
+            SELECT event_type, count(*) AS n_events,
+                   sum(CASE WHEN json_valid(props)
+                             AND json_type(props::JSON) = 'OBJECT'
+                             AND json_type(props::JSON, '$.k') IN ('BIGINT','UBIGINT','DOUBLE')
+                        THEN 1 ELSE 0 END) AS n_valid
+            FROM events GROUP BY event_type
+        """,
+        "dedup_exact": f"""
+            WITH fp AS (SELECT doc_id, {_FP} AS fingerprint FROM documents),
+            g AS (SELECT fingerprint, min(doc_id) AS canonical_id,
+                         count(*) AS n_copies
+                  FROM fp GROUP BY fingerprint)
+            SELECT count(*) AS n_distinct_texts,
+                   sum(n_copies - 1) AS n_duplicates,
+                   round(avg(canonical_id), 4) AS avg_canonical_id
+            FROM g
+        """,
+        "dedup_ngram_jaccard": f"""
+            WITH d AS (
+              SELECT doc_id, list_distinct({_SHINGLES}) AS sh FROM (
+                SELECT doc_id, string_split(trim({_NORM}), ' ') AS _toks
+                FROM documents WHERE doc_id < 120
+              ) WHERE len(_toks) >= 3
+            ),
+            sz AS (SELECT doc_id, len(sh) AS n_sh FROM d WHERE len(sh) > 0),
+            inv AS (SELECT doc_id, unnest(sh) AS shingle FROM d),
+            com AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+              FROM inv a JOIN inv b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   round(CAST(n_common AS DOUBLE)
+                         / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
+            FROM com
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b
+            WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.12
+        """,
+        "ann_topk": f"""
+            WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+                        WHERE vec_id < 8),
+                 c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
+            scored AS (
+              SELECT a.query_id, b.vec_id AS neighbor_id, {_COS.replace('a.embedding', 'a.embedding').replace('b.embedding', 'b.embedding')} AS sim
+              FROM (SELECT query_id, embedding FROM q) a(query_id, embedding),
+                   c b
+            ),
+            ranked AS (
+              SELECT query_id, neighbor_id, sim,
+                     row_number() OVER (PARTITION BY query_id
+                                        ORDER BY sim DESC, neighbor_id ASC) AS rank
+              FROM scored
+            )
+            SELECT query_id, neighbor_id, round(sim, 4) AS cosine_sim, rank
+            FROM ranked WHERE rank <= 3
+        """,
+        "embedding_near_dups": f"""
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round({_COS}, 4) AS cosine_sim
+            FROM (SELECT * FROM embeddings WHERE vec_id < 200) a
+            JOIN (SELECT * FROM embeddings WHERE vec_id < 200) b
+              ON a.vec_id < b.vec_id
+            WHERE {_COS} >= 0.25
+        """,
+        "text_token_stats": f"""
+            SELECT lang, sum({_NTOK}) AS total_tokens,
+                   round(avg(CAST({_NTOK} AS DOUBLE)), 4) AS avg_tokens
+            FROM documents GROUP BY lang
+        """,
+        "text_quality": f"""
+            SELECT source, count(*) AS n_docs,
+                   sum(CASE WHEN {_QUALITY_OK} THEN 1 ELSE 0 END) AS n_quality_ok,
+                   round(avg({_PUNCT_RATIO}), 6) AS avg_punct_ratio
+            FROM documents GROUP BY source
+        """,
+        "text_en_markers": f"""
+            SELECT lang, sum({_EN_HITS}) AS en_hits,
+                   sum(CASE WHEN {_EN_HITS} > 0 THEN 1 ELSE 0 END) AS docs_with_en_hits
+            FROM documents GROUP BY lang
+        """,
+        "text_fingerprints": f"""
+            SELECT count(*) AS n_docs,
+                   count(DISTINCT {_FP}) AS n_distinct
+            FROM documents
+        """,
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   round(sum(l_quantity), 2) AS sum_qty,
+                   round(sum(l_extendedprice), 2) AS sum_base_price,
+                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "orders_by_segment": """
+            SELECT c_mktsegment, count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS total_price
+            FROM orders JOIN customer ON o_custkey = c_custkey
+            GROUP BY c_mktsegment
+        """,
+        "events_activity": """
+            SELECT event_type, count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY event_type
+        """,
+        # dedup_minhash_lsh / dedup_simhash / ann_lsh / seq_validation:
+        # xxhash64- or fixture-seeded — rows-only check by design.
+    }

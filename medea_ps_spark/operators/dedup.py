@@ -178,22 +178,27 @@ def simhash(
     set. Expressed as aggregate over a sequence of bit positions — all
     codegen, no UDF."""
     toks = whitespace_tokens(normalize(F.col(text_col)))
-    th = F.transform(toks, lambda t: F.xxhash64(F.lit(seed), t))
-    n = F.size(th)
-    sig = F.aggregate(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        F.lit(0).cast("bigint"),
-        lambda acc, b: acc
-        + F.when(
-            F.size(
-                F.filter(th, lambda h: F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1)
-            )
-            * 2
-            > n,
-            F.shiftleft(F.lit(1).cast("bigint"), b),
-        ).otherwise(F.lit(0).cast("bigint")),
+    # materialize token hashes once, then sum 64 per-bit majority votes
+    # (bit positions are Python ints — static expression tree, codegen'd)
+    hashed = df.select(
+        F.col(id_col),
+        F.transform(toks, lambda t: F.xxhash64(F.lit(seed), t)).alias("_th"),
     )
-    return df.select(F.col(id_col), sig.alias("simhash"))
+    th = F.col("_th")
+    n = F.size(th)
+    sig = F.lit(0).cast("bigint")
+
+    def bit_set(bb: int):
+        # NB: a one-arg lambda is required — pyspark treats two-parameter
+        # lambdas (incl. default args) as (element, index) HOFs
+        return lambda h: F.shiftright(h, bb).bitwiseAND(F.lit(1)) == 1
+
+    for b in range(bits):
+        ones = F.size(F.filter(th, bit_set(b)))
+        sig = sig + F.when(
+            ones * 2 > n, F.lit(1 << b).cast("bigint") if b < 63 else F.lit(-(1 << 63)).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return hashed.select(F.col(id_col), sig.alias("simhash"))
 
 
 def simhash_near_duplicates(

@@ -1,0 +1,95 @@
+"""Text-analysis operators for training-data pipelines: language ID
+(stopword n-gram heuristic), quality scoring, token counting, document
+fingerprinting. All pure SQL expressions over functions/text.py —
+codegen'd, no UDFs."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from ..functions.text import (
+    fingerprint,
+    punct_ratio,
+    regex_token_count,
+    stopword_ratio,
+    token_count,
+    whitespace_tokens,
+)
+
+# small function-word lists per language for the heuristic language ID
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is", "that", "with", "for"],
+    "es": ["el", "la", "los", "las", "que", "de", "y", "en", "por", "una"],
+    "fr": ["le", "la", "les", "des", "une", "est", "que", "dans", "pour", "avec"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "mit", "ein", "eine", "für"],
+    "zh": ["的", "是", "在", "了", "我", "有", "和", "不", "人", "这"],
+}
+
+
+def _marker_hits(toks, markers):
+    return F.size(F.filter(toks, lambda t: t.isin(markers)))
+
+
+def language_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Adds ``lang_guess``: argmax over per-language function-word hit
+    counts ('und' when nothing matches). For zh (no whitespace
+    segmentation) characters are matched with contains()."""
+    toks = whitespace_tokens(F.lower(F.col(text_col)))
+    scores = []
+    for lang, markers in LANG_MARKERS.items():
+        if lang == "zh":
+            s = sum(
+                (F.when(F.col(text_col).contains(m), 1).otherwise(0))
+                for m in markers
+            )
+        else:
+            s = _marker_hits(toks, markers)
+        scores.append(F.struct(s.cast("int").alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    guess = F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und"))
+    return df.withColumn("lang_guess", guess)
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword features + a composite
+    quality_ok flag (heuristics in the C4/Gopher-rules spirit)."""
+    out = (
+        df.withColumn("n_chars_q", F.length(F.col(text_col)))
+        .withColumn("n_tokens", token_count(F.col(text_col)))
+        .withColumn("n_tokens_bpe", regex_token_count(F.col(text_col)))
+        .withColumn("punct_ratio", punct_ratio(F.col(text_col)))
+        .withColumn("stopword_ratio", stopword_ratio(F.col(text_col)))
+        .withColumn(
+            "mean_token_len",
+            F.when(F.col("n_tokens") == 0, F.lit(0.0)).otherwise(
+                F.length(F.regexp_replace(F.col(text_col), r"\s+", ""))
+                .cast("double")
+                / F.col("n_tokens")
+            ),
+        )
+    )
+    ok = (
+        (F.col("n_tokens") >= 5)
+        & (F.col("punct_ratio") <= 0.3)
+        & (F.col("mean_token_len").between(2.0, 12.0))
+    )
+    return out.withColumn("quality_ok", ok)
+
+
+def fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, fingerprint) — md5 of normalized text (exact-dedup key)."""
+    return df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint"))
+
+
+def rolling_hash_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", window: int = 8
+) -> DataFrame:
+    """Winnowing-style content fingerprint: min xxhash64 over a rolling
+    window of word shingles — robust to small local edits, JVM-side."""
+    from ..functions.text import word_shingles
+
+    sh = word_shingles(F.col(text_col), k=window)
+    minhash = F.array_min(F.transform(sh, lambda s: F.xxhash64(s)))
+    return df.select(F.col(id_col), minhash.alias("content_fingerprint"))

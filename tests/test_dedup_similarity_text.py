@@ -1,0 +1,273 @@
+"""Training-data pipeline operators: dedup family, ANN, text analysis,
+multimodal plumbing — with independent pandas/duckdb-free oracles."""
+
+from __future__ import annotations
+
+import itertools
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from medea_ps_spark.operators import dedup as DD
+from medea_ps_spark.operators import multimodal as MM
+from medea_ps_spark.operators import similarity as SIM
+from medea_ps_spark.operators import textquality as TQ
+
+DOCS = "/root/testdata/sf0.001/documents.parquet"
+EMB = "/root/testdata/sf0.001/embeddings.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    df = spark.read.parquet(DOCS)
+    df.cache().count()
+    return df
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    df = spark.read.parquet(EMB)
+    df.cache().count()
+    return df
+
+
+# -- helpers: python oracles ---------------------------------------------------
+
+
+def py_norm(t: str) -> str:
+    return " ".join(t.lower().split())
+
+
+def py_shingles(t: str, k: int = 3):
+    toks = py_norm(t).split()
+    return {" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)}
+
+
+def py_jaccard(a: set, b: set) -> float:
+    return len(a & b) / len(a | b) if a | b else 0.0
+
+
+# -- exact dedup ---------------------------------------------------------------
+
+
+def test_exact_duplicates_oracle(spark, docs):
+    got = DD.exact_duplicates(docs, "text", "doc_id").collect()
+    pdf = docs.select("doc_id", "text").toPandas()
+    pdf["fp"] = pdf.text.map(py_norm)
+    canon = pdf.groupby("fp").doc_id.min()
+    want = {
+        (r.doc_id, canon[r.fp])
+        for r in pdf.itertuples()
+        if r.doc_id != canon[r.fp]
+    }
+    assert {(r["doc_id"], r["canonical_id"]) for r in got} == want
+    # survivors + dups == all rows
+    kept = DD.dedup_exact(docs, "text", "doc_id").count()
+    assert kept + len(want) == docs.count()
+
+
+# -- ngram jaccard ----------------------------------------------------------------
+
+
+def test_ngram_jaccard_matches_python(spark, docs):
+    sub = docs.limit(80)
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in DD.ngram_jaccard_pairs(sub, "text", "doc_id", 3, 0.2).collect()
+    }
+    pdf = sub.select("doc_id", "text").toPandas()
+    sh = {r.doc_id: py_shingles(r.text) for r in pdf.itertuples()}
+    want = {}
+    for a, b in itertools.combinations(sorted(sh), 2):
+        if not sh[a] or not sh[b]:
+            continue
+        j = py_jaccard(sh[a], sh[b])
+        if j >= 0.2:
+            want[(a, b)] = j
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) < 1e-9
+
+
+# -- minhash LSH -------------------------------------------------------------------
+
+
+def test_minhash_lsh_finds_planted_near_dups(spark):
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far away "
+        "into the deep green forest while the hunter watches quietly from afar"
+    )
+    rows = [(f"d{i}", base + f" variant token{i}") for i in range(10)]
+    rows += [(f"u{i}", f"completely different text number {i} with unrelated "
+              f"words like banana spaceship quantum {i * 17} puzzle") for i in range(10)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    pairs = DD.minhash_near_duplicates(
+        df, num_hashes=32, bands=8, threshold=0.6
+    ).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    # all planted near-dup pairs found, no cross-group false positives
+    assert all(a.startswith("d") == b.startswith("d") for a, b in got)
+    d_pairs = {p for p in got if p[0].startswith("d")}
+    assert len(d_pairs) >= 40  # of 45 possible — LSH at s~0.9 recalls ~all
+    # verified jaccard values are exact
+    for r in pairs:
+        assert 0.6 <= r["jaccard"] <= 1.0
+
+
+def test_minhash_jaccard_estimate_unbiased(spark):
+    a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
+    b = "alpha beta gamma delta epsilon zeta eta theta lambda mu " * 3
+    df = spark.createDataFrame([("a", a), ("b", b)], "doc_id string, text string")
+    sigs = {r["doc_id"]: r["sig"] for r in DD.minhash_signature(df, num_hashes=128).collect()}
+    est = np.mean([x == y for x, y in zip(sigs["a"], sigs["b"])])
+    true_j = py_jaccard(py_shingles(a), py_shingles(b))
+    assert abs(est - true_j) < 0.15
+
+
+# -- simhash -----------------------------------------------------------------------
+
+
+def test_simhash_hamming_properties(spark):
+    rows = [
+        ("a", "the quick brown fox jumps over the lazy dog " * 5),
+        ("b", "the quick brown fox jumps over the lazy cat " * 5),
+        ("c", "totally unrelated content about quantum chromodynamics and "
+              "lattice gauge theory simulations on supercomputers"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    sigs = {r["doc_id"]: r["simhash"] for r in DD.simhash(df).collect()}
+    ham_ab = bin((sigs["a"] ^ sigs["b"]) & (2**64 - 1)).count("1")
+    ham_ac = bin((sigs["a"] ^ sigs["c"]) & (2**64 - 1)).count("1")
+    # similar texts land closer in simhash space than dissimilar ones
+    assert ham_ab < ham_ac
+    # determinism
+    sigs2 = {r["doc_id"]: r["simhash"] for r in DD.simhash(df).collect()}
+    assert sigs == sigs2
+
+
+def test_simhash_near_duplicates_banding_guarantee(spark):
+    """4×16-bit bands guarantee candidate generation for Hamming ≤ 3
+    (pigeonhole); exact duplicates must always pair."""
+    text = "the quick brown fox jumps over the lazy dog " * 4
+    other = "unrelated quantum chromodynamics lattice gauge theory words"
+    df = spark.createDataFrame(
+        [("a", text), ("b", text), ("c", other)], "doc_id string, text string"
+    )
+    pairs = DD.simhash_near_duplicates(df, max_hamming=3).collect()
+    got = {(r["id_a"], r["id_b"]) for r in pairs}
+    assert ("a", "b") in got
+    assert all({p[0], p[1]} != {"a", "c"} and {p[0], p[1]} != {"b", "c"} for p in got)
+
+
+# -- embedding similarity -------------------------------------------------------------
+
+
+def np_topk(pdf, qid, k):
+    vecs = np.stack(pdf.embedding.values).astype(np.float64)
+    ids = pdf.vec_id.values
+    q = vecs[ids.tolist().index(qid)]
+    sims = vecs @ q / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    order = sorted(zip(-sims, ids), key=lambda t: (t[0], t[1]))
+    return [(int(i), float(-s)) for s, i in order[:k]]
+
+
+def test_brute_force_topk_matches_numpy(spark, emb):
+    queries = emb.limit(5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = SIM.brute_force_topk(emb, queries, k=4).collect()
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    for qid in [r["query_id"] for r in queries.collect()]:
+        want = np_topk(pdf, qid, 4)
+        g = sorted(
+            [r for r in got if r["query_id"] == qid], key=lambda r: r["rank"]
+        )
+        assert [r["neighbor_id"] for r in g] == [i for i, _ in want]
+        for r, (_, s) in zip(g, want):
+            assert abs(r["cosine_sim"] - s) < 1e-9
+
+
+def test_lsh_topk_recall(spark, emb):
+    queries = emb.limit(10).select(F.col("vec_id").alias("query_id"), "embedding")
+    exact = SIM.brute_force_topk(emb, queries, k=3)
+    approx = SIM.lsh_topk(emb, queries, k=3, n_planes=6, n_tables=6)
+    e = {(r["query_id"], r["neighbor_id"]) for r in exact.collect()}
+    a = {(r["query_id"], r["neighbor_id"]) for r in approx.collect()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.5, recall  # 6 tables × 6 planes on random data
+
+
+def test_cosine_near_duplicates_planted(spark):
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal(64)
+    rows = [(0, (base + 0.01 * rng.standard_normal(64)).tolist()),
+            (1, (base + 0.01 * rng.standard_normal(64)).tolist())]
+    rows += [(i, rng.standard_normal(64).tolist()) for i in range(2, 40)]
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = SIM.cosine_near_duplicates(df, threshold=0.9, exact=True).collect()
+    assert {(r["id_a"], r["id_b"]) for r in got} == {(0, 1)}
+    got_lsh = SIM.cosine_near_duplicates(
+        df, threshold=0.9, n_planes=4, n_tables=6
+    ).collect()
+    assert (0, 1) in {(r["id_a"], r["id_b"]) for r in got_lsh}
+
+
+# -- text quality / langid --------------------------------------------------------------
+
+
+def test_quality_features_oracle(spark, docs):
+    out = TQ.quality_features(docs.limit(50)).collect()
+    for r in out:
+        toks = r["text"].split()
+        assert r["n_tokens"] == len(toks)
+        stripped = "".join(r["text"].split())
+        if toks:
+            assert abs(r["mean_token_len"] - len(stripped) / len(toks)) < 1e-9
+
+
+def test_language_scores(spark):
+    rows = [
+        ("e", "the cat and the dog went to the park with a ball"),
+        ("s", "el perro y la gata que viven en la casa de una familia"),
+        ("f", "le chien est dans la maison avec une balle pour les enfants"),
+        ("d", "der hund und die katze sind nicht mit ein kind für immer"),
+        ("z", "我是一个人，这不是我的错"),
+        ("u", "zzz qqq xxx vvv"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r["lang_guess"] for r in TQ.language_scores(df).collect()}
+    assert got == {"e": "en", "s": "es", "f": "fr", "d": "de", "z": "zh", "u": "und"}
+
+
+def test_fingerprints_ignore_whitespace_case(spark):
+    df = spark.createDataFrame(
+        [("a", "Hello   World"), ("b", "hello world"), ("c", "other")],
+        "doc_id string, text string",
+    )
+    fps = {r["doc_id"]: r["fingerprint"] for r in TQ.fingerprints(df).collect()}
+    assert fps["a"] == fps["b"] != fps["c"]
+
+
+# -- multimodal plumbing -------------------------------------------------------------------
+
+
+def test_multimodal_feature_extraction(spark):
+    media = MM.synthetic_media(spark, 50)
+    feats = MM.extract_features(media).collect()
+    assert len(feats) == 50
+    by_id = {r["media_id"]: r for r in feats}
+    assert all(len(r["features"]) == 16 for r in feats)
+    # deterministic: same payload → same features
+    feats2 = {r["media_id"]: r["features"] for r in MM.extract_features(media).collect()}
+    assert feats2 == {k: v["features"] for k, v in by_id.items()}
+
+
+def test_multimodal_strict_decoder_raises(spark):
+    media = MM.synthetic_media(spark, 3)
+    out = MM.extract_features(media, decoder=MM.strict_decoder)
+    with pytest.raises(Exception, match="NotImplementedError|media decoding"):
+        out.collect()

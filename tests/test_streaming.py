@@ -1,0 +1,84 @@
+"""Structured-Streaming validation tests (rate source + file source,
+availableNow trigger so tests are bounded)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from medea_ps_spark.plans.compiler import Registry
+from medea_ps_spark.plans.constraints import ConstraintSet, InRange, NotNull, SizeEquals
+from medea_ps_spark.streaming.validate_stream import (
+    run_foreach_batch,
+    windowed_violation_counts,
+)
+from medea_ps_spark.sources import synthetic
+
+
+@pytest.fixture(scope="module")
+def stream_input(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("stream") / "in")
+    df = synthetic.sequences(spark, 2_000, seed=9).withColumn(
+        "ts", F.timestamp_seconds(F.lit(1700000000) + F.pmod(F.xxhash64("doc_id"), F.lit(600)))
+    )
+    df.write.mode("overwrite").parquet(p)
+    return p, df.schema
+
+
+def _compiled(schema):
+    reg = Registry()
+    reg.register(
+        ConstraintSet(
+            "$start",
+            [
+                NotNull("doc_id_not_null", "doc_id"),
+                SizeEquals("n_tok_matches", "n_tok", "tokens"),
+                InRange("n_tok_bounds", "n_tok", 1, synthetic.MAX_LEN),
+            ],
+        )
+    )
+    return reg.compile(schema)
+
+
+def test_foreach_batch_validation(spark, stream_input, tmp_path):
+    path, schema = stream_input
+    compiled = _compiled(schema)
+    stream = spark.readStream.schema(schema).parquet(path)
+    collected = {}
+
+    def sink(batch_df, batch_id):
+        collected["n"] = batch_df.count()
+        collected["failed"] = batch_df.where(~F.col("passed")).count()
+
+    q = run_foreach_batch(
+        stream, compiled, sink, str(tmp_path / "ckpt"), trigger_once=True
+    )
+    q.awaitTermination(120)
+    batch_equiv = spark.read.parquet(path)
+    from medea_ps_spark.operators.validator import validate
+
+    want_failed = validate(batch_equiv, compiled).where(~F.col("passed")).count()
+    assert collected["n"] == 2_000
+    assert collected["failed"] == want_failed > 0
+
+
+def test_windowed_violation_counts_streaming(spark, stream_input, tmp_path):
+    path, schema = stream_input
+    compiled = _compiled(schema)
+    stream = spark.readStream.schema(schema).parquet(path)
+    agg = windowed_violation_counts(
+        stream, compiled, ts_col="ts", window="5 minutes", partition_col=None
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("viol_counts")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = spark.sql("select * from viol_counts").collect()
+    assert sum(r["n_rows"] for r in rows) == 2_000
+    assert sum(r["n_failed"] for r in rows) > 0
+    assert len(rows) >= 2  # multiple windows over the 600s spread
