@@ -557,16 +557,16 @@ def oracle_sql() -> dict[str, str]:
         "validate_verdicts": f"""
             SELECT source,
                    count(*) AS n_rows,
-                   sum(CASE WHEN NOT {_ROW_FAIL} THEN 1 ELSE 0 END) AS n_passed,
-                   sum(CASE WHEN {_ROW_FAIL} THEN 1 ELSE 0 END) AS n_failed,
-                   sum({_N_VIOL}) AS n_violations
+                   CAST(sum(CASE WHEN NOT {_ROW_FAIL} THEN 1 ELSE 0 END) AS BIGINT) AS n_passed,
+                   CAST(sum(CASE WHEN {_ROW_FAIL} THEN 1 ELSE 0 END) AS BIGINT) AS n_failed,
+                   CAST(sum({_N_VIOL}) AS BIGINT) AS n_violations
             FROM documents GROUP BY source
         """,
         "partition_stats": """
             SELECT lang, count(*) AS n_rows,
                    min(n_chars) AS min_chars, max(n_chars) AS max_chars,
                    round(avg(CAST(n_chars AS DOUBLE)), 4) AS avg_chars,
-                   sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS n_null_ids
+                   CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_ids
             FROM documents GROUP BY lang
         """,
         "unique_violations": """
@@ -584,8 +584,8 @@ def oracle_sql() -> dict[str, str]:
         "drift_chi2": f"""
             WITH h AS (
               SELECT {b16} AS bucket,
-                     sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS o1,
-                     sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS o2
+                     CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS o1,
+                     CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS o2
               FROM documents GROUP BY 1
             ), t AS (SELECT sum(o1) n1, sum(o2) n2 FROM h)
             SELECT round(sum(
@@ -597,8 +597,8 @@ def oracle_sql() -> dict[str, str]:
         "ks_stat": f"""
             WITH h AS (
               SELECT {b32} AS bucket,
-                     sum(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS c_en,
-                     sum(CASE WHEN lang='es' THEN 1 ELSE 0 END) AS c_es
+                     CAST(sum(CASE WHEN lang='en' THEN 1 ELSE 0 END) AS BIGINT) AS c_en,
+                     CAST(sum(CASE WHEN lang='es' THEN 1 ELSE 0 END) AS BIGINT) AS c_es
               FROM documents WHERE lang IN ('en','es') GROUP BY 1
             ), cdf AS (
               SELECT sum(c_en) OVER (ORDER BY bucket) AS cum_en,
@@ -623,7 +623,7 @@ def oracle_sql() -> dict[str, str]:
                          count(*) AS n_copies
                   FROM fp GROUP BY fingerprint)
             SELECT count(*) AS n_distinct_texts,
-                   sum(n_copies - 1) AS n_duplicates,
+                   CAST(sum(n_copies - 1) AS BIGINT) AS n_duplicates,
                    round(avg(canonical_id), 4) AS avg_canonical_id
             FROM g
         """,
@@ -677,19 +677,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_COS} >= 0.25
         """,
         "text_token_stats": f"""
-            SELECT lang, sum({_NTOK}) AS total_tokens,
+            SELECT lang, CAST(sum({_NTOK}) AS BIGINT) AS total_tokens,
                    round(avg(CAST({_NTOK} AS DOUBLE)), 4) AS avg_tokens
             FROM documents GROUP BY lang
         """,
         "text_quality": f"""
             SELECT source, count(*) AS n_docs,
-                   sum(CASE WHEN {_QUALITY_OK} THEN 1 ELSE 0 END) AS n_quality_ok,
+                   CAST(sum(CASE WHEN {_QUALITY_OK} THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_ok,
                    round(avg({_PUNCT_RATIO}), 6) AS avg_punct_ratio
             FROM documents GROUP BY source
         """,
         "text_en_markers": f"""
-            SELECT lang, sum({_EN_HITS}) AS en_hits,
-                   sum(CASE WHEN {_EN_HITS} > 0 THEN 1 ELSE 0 END) AS docs_with_en_hits
+            SELECT lang, CAST(sum({_EN_HITS}) AS BIGINT) AS en_hits,
+                   CAST(sum(CASE WHEN {_EN_HITS} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_en_hits
             FROM documents GROUP BY lang
         """,
         "text_fingerprints": f"""

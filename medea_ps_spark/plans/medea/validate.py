@@ -25,6 +25,8 @@ from __future__ import annotations
 import json
 from typing import Dict, Optional, Tuple
 
+import pandas as pd
+
 from ... import errors as E
 from .analysis import ANY, CompiledMedea
 
@@ -207,7 +209,6 @@ def validate_json_column(df, column: str, schema_source, out_prefix: str = "mede
     closure (≙ ReaderT Schema broadcast, Medea.purs:151). Arrow batches
     cross the JVM↔Python boundary once per partition chunk.
     """
-    import pandas as pd
     from pyspark.sql import functions as F
     from pyspark.sql.types import BooleanType, StringType, StructField, StructType
 

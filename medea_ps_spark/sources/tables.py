@@ -1,0 +1,70 @@
+"""Table IO: Iceberg when available, partitioned parquet fallback.
+
+The engine targets Iceberg tables (BASELINE.json input_hint); the
+sandbox has no Iceberg runtime jar, so the layer probes for it once and
+degrades to directory-partitioned parquet with the same layout
+(partition column = directory key), preserving partition pruning via
+Spark's HiveStylePartitioning on read paths.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+@lru_cache(maxsize=1)
+def iceberg_available(spark_jars: str = "") -> bool:
+    try:
+        import importlib.util  # noqa: F401
+
+        from pyspark.sql import SparkSession as S
+
+        s = S.getActiveSession()
+        if s is None:
+            return False
+        s._jvm.java.lang.Class.forName(
+            "org.apache.iceberg.spark.source.SparkTable"
+        )
+        return True
+    except Exception:
+        return False
+
+
+def read_table(spark: SparkSession, path_or_name: str) -> DataFrame:
+    """Iceberg table name (catalog.db.tbl) or parquet path/dir."""
+    if iceberg_available() and not os.path.exists(path_or_name):
+        return spark.read.format("iceberg").load(path_or_name)
+    if os.path.isdir(path_or_name) or path_or_name.endswith(".parquet"):
+        return spark.read.parquet(path_or_name)
+    return spark.read.parquet(path_or_name)
+
+
+def write_table(
+    df: DataFrame,
+    path_or_name: str,
+    partition_col: Optional[str] = "source",
+    mode: str = "overwrite",
+) -> None:
+    if iceberg_available() and not path_or_name.startswith("/"):
+        w = df.writeTo(path_or_name)
+        if partition_col:
+            w = w.partitionedBy(partition_col)
+        w.createOrReplace()
+        return
+    w = df.write.mode(mode)
+    if partition_col:
+        w = w.partitionBy(partition_col)
+    w.parquet(path_or_name)
+
+
+def load_sf_tables(spark: SparkSession, sf_dir: str) -> dict:
+    """All driver-provided tables of a scale-factor directory."""
+    names = [
+        "region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "events", "documents", "embeddings",
+    ]
+    return {n: spark.read.parquet(f"{sf_dir}/{n}.parquet") for n in names}

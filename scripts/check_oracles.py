@@ -1,0 +1,100 @@
+"""Emulates the driver's correctness gate: runs every queries() entry at
+a given SF dir and compares with oracle_sql() via DuckDB — row count,
+column names, and order-insensitive values."""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+sys.path.insert(0, "/root/repo")
+
+import __spark_entry__ as entrymod
+from medea_ps_spark.session import get_spark
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+
+
+def normalize(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf.reindex(sorted(pdf.columns), axis=1)
+    for c in pdf.columns:
+        if pdf[c].dtype == object:
+            continue
+        if np.issubdtype(pdf[c].dtype, np.floating):
+            pdf[c] = pdf[c].round(6)
+        elif np.issubdtype(pdf[c].dtype, np.integer):
+            pdf[c] = pdf[c].astype("int64")
+    return pdf.sort_values(by=list(pdf.columns)).reset_index(drop=True)
+
+
+def main(sf_dir: str) -> int:
+    spark = get_spark(master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'"
+        )
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        t0 = time.time()
+        try:
+            got = fn(spark, sf_dir).toPandas()
+        except Exception as e:
+            failures.append((name, f"SPARK ERROR: {e}"))
+            print(f"[FAIL-spark] {name}: {e}")
+            continue
+        if name not in oracles:
+            print(f"[rows-only ] {name}: {len(got)} rows "
+                  f"({time.time()-t0:.1f}s)")
+            continue
+        try:
+            want = con.execute(oracles[name]).df()
+        except Exception as e:
+            failures.append((name, f"ORACLE ERROR: {e}"))
+            print(f"[FAIL-sql  ] {name}: {e}")
+            continue
+        g, w = normalize(got), normalize(want)
+        if list(g.columns) != list(w.columns):
+            failures.append((name, f"columns {list(g.columns)} != {list(w.columns)}"))
+            print(f"[FAIL-cols ] {name}: {list(g.columns)} vs {list(w.columns)}")
+            continue
+        if len(g) != len(w):
+            failures.append((name, f"rows {len(g)} != {len(w)}"))
+            print(f"[FAIL-rows ] {name}: {len(g)} vs {len(w)}")
+            continue
+        mismatch = None
+        for c in g.columns:
+            a, b = g[c], w[c]
+            if np.issubdtype(a.dtype, np.number) and np.issubdtype(b.dtype, np.number):
+                if not np.allclose(
+                    a.astype(float), b.astype(float), rtol=1e-9, atol=1e-9,
+                    equal_nan=True,
+                ):
+                    mismatch = c
+                    break
+            else:
+                if not (a.astype(str) == b.astype(str)).all():
+                    mismatch = c
+                    break
+        if mismatch:
+            failures.append((name, f"values differ in {mismatch}"))
+            print(f"[FAIL-vals ] {name}: column {mismatch}")
+            print("  got :", g.head(5).to_dict("records"))
+            print("  want:", w.head(5).to_dict("records"))
+        else:
+            print(f"[OK        ] {name}: {len(g)} rows ({time.time()-t0:.1f}s)")
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} ok; failures: {[f[0] for f in failures]}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"))
