@@ -1,0 +1,74 @@
+"""spark-submit entry point (north_star: "launched via spark-submit
+--py-files"):
+
+    spark-submit --py-files medea_ps_spark.zip \
+        medea_ps_spark/jobs/validate_job.py \
+        --input /path/to/sequences --checkpoint /path/to/ck \
+        [--partition-col source] [--vocab 50257] [--max-len 8192]
+
+Runs the BASELINE constraint set over the input table with
+checkpoint/resume and prints a JSON metrics summary.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def build_registry(vocab: int, max_len: int, allowed_sources):
+    from medea_ps_spark.plans.compiler import Registry
+    from medea_ps_spark.plans.constraints import (
+        ArrayLenBetween, ConstraintSet, ElementsInRange, InRange, NotNull,
+        ReferentialIn, SizeEquals, Unique,
+    )
+
+    reg = Registry()
+    reg.register(
+        ConstraintSet(
+            "$start",
+            [
+                NotNull("doc_id_not_null", "doc_id"),
+                SizeEquals("n_tok_matches", "n_tok", "tokens"),
+                InRange("n_tok_bounds", "n_tok", 1, max_len),
+                ElementsInRange("tokens_in_vocab", "tokens", 0, vocab),
+                ArrayLenBetween("tokens_not_empty", "tokens", 1, None),
+                ReferentialIn("source_known", "source", dim_values=allowed_sources),
+                Unique("doc_id_unique", "doc_id"),
+            ],
+        )
+    )
+    return reg
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--partition-col", default="source")
+    ap.add_argument("--vocab", type=int, default=50257)
+    ap.add_argument("--max-len", type=int, default=8192)
+    ap.add_argument("--id-col", default="doc_id")
+    args = ap.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from medea_ps_spark.operators.runner import run_checkpointed_validation
+    from medea_ps_spark.sources.synthetic import ALLOWED_SOURCES
+
+    spark = SparkSession.builder.appName("medea-validate").getOrCreate()
+    reg = build_registry(args.vocab, args.max_len, ALLOWED_SOURCES)
+    metrics = run_checkpointed_validation(
+        spark,
+        args.input,
+        reg,
+        args.checkpoint,
+        id_column=args.id_col,
+        partition_col=args.partition_col,
+    )
+    print(json.dumps({"partitions": metrics}, sort_keys=True))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -170,7 +170,11 @@ class CheckpointedRun:
         for p in self.pending_partitions():
             pdir = f"{self.partition_col}={p}"
             snap = snapshot_id_for(self.table_path, pdir)
-            df = self.spark.read.parquet(os.path.join(self.table_path, pdir))
+            # reading a leaf partition dir drops the partition column —
+            # restore it as a literal (constant within the partition)
+            df = self.spark.read.parquet(
+                os.path.join(self.table_path, pdir)
+            ).withColumn(self.partition_col, F.lit(p))
             out_dir = os.path.join(self.checkpoint_dir, "out", pdir)
             metrics = process(df, out_dir)
             self.manifest.entries[p] = PartitionEntry(

@@ -1,0 +1,80 @@
+"""Physical-plan quality gates (SURVEY.md §4): pushdown, pruning,
+broadcast, codegen — asserted on .explain output so regressions that
+silently de-optimize the 100 TB plan fail CI."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+import __spark_entry__ as em
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_of(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_filter_pushdown_to_parquet(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet").where(
+        F.col("doc_id") < 120
+    ).select("doc_id", "text")
+    plan = plan_of(df)
+    assert "PushedFilters" in plan and "LessThan(doc_id,120)" in plan
+
+
+def test_column_pruning_reaches_scan(spark):
+    df = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
+    plan = plan_of(df)
+    # ReadSchema must not contain text (the wide column)
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schema and "text" not in read_schema[0]
+
+
+def test_validation_plan_prunes_and_pushes(spark):
+    """The flagship validation reads only the constraint columns and
+    keeps the row pass shuffle-free."""
+    from medea_ps_spark.operators import validator as V
+
+    df, compiled = em._validated(spark, SF)
+    validated = V.validate(df.select("doc_id", "n_chars", "text", "lang", "source"), compiled)
+    plan = plan_of(validated)
+    assert "Exchange" not in plan
+    # '*(n)' marks whole-stage-codegen'd operators in toString()
+    assert "*(" in plan
+
+
+def test_referential_join_is_broadcast(spark):
+    df = em.q_referential_violations(spark, SF)
+    assert "BroadcastHashJoin" in plan_of(df)
+
+
+def test_orders_join_is_broadcast(spark):
+    df = em.q_orders_by_segment(spark, SF)
+    assert "BroadcastHashJoin" in plan_of(df)
+
+
+def test_unique_violation_join_broadcasts_dup_keys(spark):
+    df = em.q_unique_violations(spark, SF)
+    # groupBy path: one exchange for the agg, no sort-merge join anywhere
+    assert "SortMergeJoin" not in plan_of(df)
+
+
+def test_histogram_is_two_phase_agg(spark):
+    df = em.q_histogram_n_chars(spark, SF)
+    plan = plan_of(df)
+    assert plan.count("HashAggregate") >= 2  # partial + final
+    assert "SortMergeJoin" not in plan
+
+
+def test_minhash_signature_no_shuffle(spark):
+    from medea_ps_spark.operators.dedup import minhash_signature
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sigs = minhash_signature(docs, num_hashes=16)
+    assert "Exchange" not in plan_of(sigs)
