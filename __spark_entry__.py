@@ -276,10 +276,14 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 def q_dedup_minhash_lsh(spark, sf_dir):
     """MinHash+LSH near-dup candidates (xxhash64-seeded — no SQL oracle;
-    rows-only check). Verified against exact Jaccard in unit tests."""
-    df = _docs(spark, sf_dir).where(F.col("doc_id") < 500)
+    rows-only check). Verified against exact Jaccard in unit tests.
+    Band/row choice tuned for the synthetic corpus's tiny word
+    vocabulary (high baseline shingle overlap): 8 bands × 4 rows puts
+    the s-curve threshold at ~(1/8)^(1/4) ≈ 0.6, keeping the candidate
+    set bucket-local instead of quadratic."""
+    df = _docs(spark, sf_dir).where(F.col("doc_id") < 400)
     return DD.minhash_near_duplicates(
-        df, num_hashes=32, bands=16, threshold=0.1, shingle_k=3
+        df, num_hashes=32, bands=8, threshold=0.35, shingle_k=3
     )
 
 

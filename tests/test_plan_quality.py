@@ -21,6 +21,9 @@ def optimized_of(df) -> str:
 
 
 def test_filter_pushdown_to_parquet(spark):
+    # other test modules may have cached this path → InMemoryTableScan
+    # would (legitimately) replace the FileScan; test the scan itself
+    spark.catalog.clearCache()
     df = spark.read.parquet(f"{SF}/documents.parquet").where(
         F.col("doc_id") < 120
     ).select("doc_id", "text")
@@ -29,6 +32,7 @@ def test_filter_pushdown_to_parquet(spark):
 
 
 def test_column_pruning_reaches_scan(spark):
+    spark.catalog.clearCache()
     df = spark.read.parquet(f"{SF}/documents.parquet").select("doc_id")
     plan = plan_of(df)
     # ReadSchema must not contain text (the wide column)
