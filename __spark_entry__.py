@@ -386,6 +386,53 @@ def q_text_fingerprints(spark, sf_dir):
     )
 
 
+def q_array_ops_check(spark, sf_dir):
+    """Array-constraint family on a DERIVED token array (split of text)
+    so the ArrayLenBetween/ElementsSatisfy semantics get a full SQL
+    oracle (the xxhash-seeded sequences table can't)."""
+    from medea_ps_spark.functions.text import whitespace_tokens
+
+    df = _docs(spark, sf_dir)
+    toks = whitespace_tokens(F.col("text"))
+    ok_len = (F.size(toks) >= 10) & (F.size(toks) <= 100)
+    ok_words = F.forall(toks, lambda w: F.length(w) <= 12)
+    return df.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum((~ok_len).cast("bigint")).alias("n_len_violations"),
+        F.sum((~ok_words).cast("bigint")).alias("n_word_violations"),
+    )
+
+
+def q_events_top_users(spark, sf_dir):
+    """Window top-k: top-2 users by total value per event type."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    totals = ev.groupBy("event_type", "user_id").agg(
+        F.sum("value").alias("total_value")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("total_value"), F.asc("user_id")
+    )
+    return (
+        totals.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 2)
+        .select(
+            "event_type", "user_id",
+            F.round("total_value", 2).alias("total_value"), "rank",
+        )
+    )
+
+
+def q_events_hourly(spark, sf_dir):
+    """Time-bucketed rollup (streaming-window analogue in batch)."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return ev.groupBy(F.hour("ts").alias("hr")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )
+
+
 def q_lineitem_pricing(spark, sf_dir):
     """TPC-H Q1-style rollup — engine breadth + bench headline."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -429,10 +476,12 @@ def q_seq_validation(spark, sf_dir):
     """The BASELINE.json hot path on the synthetic tokenized-sequence
     table (deterministic xxhash64 fixture → rows-only check)."""
     from medea_ps_spark.sources import synthetic
-    from tests.test_validator_spark import baseline_registry  # reuse the set
+    from medea_ps_spark.jobs.validate_job import build_registry
 
     df = synthetic.sequences(spark, 50_000, seed=42)
-    compiled = baseline_registry().compile(df.schema)
+    compiled = build_registry(
+        synthetic.VOCAB, synthetic.MAX_LEN, synthetic.ALLOWED_SOURCES
+    ).compile(df.schema)
     validated = V.validate(df, compiled)
     return V.partition_verdicts(validated, "source")
 
@@ -459,6 +508,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_en_markers": q_text_en_markers,
         "text_fingerprints": q_text_fingerprints,
+        "array_ops_check": q_array_ops_check,
+        "events_top_users": q_events_top_users,
+        "events_hourly": q_events_hourly,
         "lineitem_pricing": q_lineitem_pricing,
         "orders_by_segment": q_orders_by_segment,
         "events_activity": q_events_activity,
@@ -700,6 +752,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_docs,
                    count(DISTINCT {_FP}) AS n_distinct
             FROM documents
+        """,
+        "array_ops_check": f"""
+            SELECT lang, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN NOT ({_NTOK} BETWEEN 10 AND 100)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_len_violations,
+                   CAST(sum(CASE WHEN len(list_filter({_TOKS},
+                                 w -> length(w) > 12)) > 0
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_word_violations
+            FROM documents GROUP BY lang
+        """,
+        "events_top_users": """
+            WITH totals AS (
+              SELECT event_type, user_id, sum(value) AS total_value
+              FROM events GROUP BY event_type, user_id
+            ), ranked AS (
+              SELECT event_type, user_id, total_value,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY total_value DESC,
+                                                 user_id ASC) AS rank
+              FROM totals
+            )
+            SELECT event_type, user_id,
+                   round(total_value, 2) AS total_value, rank
+            FROM ranked WHERE rank <= 2
+        """,
+        "events_hourly": """
+            SELECT CAST(extract(hour FROM ts) AS INT) AS hr,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS total_value
+            FROM events GROUP BY 1
         """,
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,

@@ -57,6 +57,12 @@ def verdict_only(df: DataFrame, compiled: CompiledSet) -> DataFrame:
     return df.withColumn(PASSED_COL, pred)
 
 
+def strip_verdicts(validated: DataFrame) -> DataFrame:
+    """Drop the verdict/violation columns — ≙ toJSONValue stripping
+    annotations from the validated tree (Medea.purs:83-95)."""
+    return validated.drop(VIOLATIONS_COL, PASSED_COL)
+
+
 def violation_rows(validated: DataFrame, id_column: str = "doc_id") -> DataFrame:
     """Explode the violations array → (doc_id, constraint_id, observed).
     ≙ F.explode of the reference's error taxonomy (SURVEY.md §1.4)."""

@@ -201,6 +201,15 @@ def validate_value(m: Dict[str, CompiledMedea], v) -> Tuple[bool, Optional[str]]
         return False, e.err
 
 
+def validate_from_file(m: Dict[str, CompiledMedea], path: str):
+    """≙ validateFromFile (Medea.purs:155-158) — with the INTENDED
+    semantics: validates the file's contents. (The reference has a
+    known bug validating the path string instead; its own tests bypass
+    it, see SURVEY.md §3.)"""
+    with open(path, "r", encoding="utf-8") as fh:
+        return validate(m, fh.read())
+
+
 def validate_json_column(df, column: str, schema_source, out_prefix: str = "medea"):
     """Distributed Medea validation of a JSON-string column.
 
