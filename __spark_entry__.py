@@ -336,6 +336,23 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+def q_ann_ivf(spark, sf_dir):
+    """IVF-bucketed ANN (k-means coarse quantizer trained on a driver
+    sample — rows-only check; recall vs exact is unit-tested)."""
+    from medea_ps_spark.operators import ivf as IVF
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cent = IVF.train_centroids(emb, k=8, sample=2000, iters=8)
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return IVF.ivf_topk(
+        emb.where(F.col("vec_id") >= 8), queries, cent, k=3, n_probe=3
+    )
+
+
 def q_text_token_stats(spark, sf_dir):
     from medea_ps_spark.functions.text import token_count
 
@@ -503,6 +520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_simhash": q_dedup_simhash,
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "embedding_near_dups": q_embedding_near_dups,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,

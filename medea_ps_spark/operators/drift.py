@@ -164,6 +164,59 @@ def ks_drift(
     }
 
 
+def chi2_drift_by_partition(
+    df: DataFrame,
+    profile: ReferenceProfile,
+    name: str,
+    partition_col: str = "source",
+    alpha: float = 0.001,
+):
+    """Per-PARTITION drift verdicts (north star: per-partition pass/fail):
+    one hash-agg computes every partition's bucket counts (≤ nbuckets ×
+    |partitions| rows collected); the χ² per partition runs driver-side
+    on those sketches. Returns a list of verdict dicts, one per
+    partition value."""
+    p = profile.columns[name]
+    h = histogram(df, p.column, p.lo, p.hi, p.nbuckets, partition_col=partition_col)
+    rows = h.collect()
+    parts = sorted({r[partition_col] for r in rows})
+    exp = np.array(p.counts, dtype=np.float64)
+    n_exp = exp.sum()
+    out = []
+    for part in parts:
+        obs = np.zeros(p.nbuckets, dtype=np.float64)
+        for r in rows:
+            if r[partition_col] == part:
+                obs[r["bucket"]] = r["bucket_count"]
+        n_obs = obs.sum()
+        if n_obs == 0 or n_exp == 0:
+            out.append({"partition": part, "stat": float("nan"), "pvalue": 0.0})
+            continue
+        keep = (obs + exp) >= 10.0
+        o = np.append(obs[keep], obs[~keep].sum())
+        e = np.append(exp[keep], exp[~keep].sum())
+        mask = (o + e) > 0
+        o, e = o[mask], e[mask]
+        k1 = math.sqrt(n_exp / n_obs)
+        k2 = math.sqrt(n_obs / n_exp)
+        stat = float(((k1 * o - k2 * e) ** 2 / (o + e)).sum())
+        dof = max(1, len(o) - 1)
+        pv = chi2_sf(stat, dof)
+        out.append(
+            {
+                "partition": part,
+                "name": name,
+                "stat": stat,
+                "dof": dof,
+                "pvalue": pv,
+                "n": int(n_obs),
+                "drifted": bool(pv < alpha),
+                "alpha": alpha,
+            }
+        )
+    return out
+
+
 def drift_verdicts(
     df: DataFrame,
     profile: ReferenceProfile,
