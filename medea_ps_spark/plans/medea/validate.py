@@ -178,6 +178,116 @@ def _check_customs(v, nodes, m) -> str:
     raise _combine(errs)
 
 
+def _annotate(v, nodes: frozenset, par: Optional[str], m) -> dict:
+    """Annotated-tree twin of _check_types — returns the input value with
+    every node tagged by the schema that validated it
+    (≙ ValidatedJSON = Cofree ValidJSONF SchemaInformation,
+    Medea.purs:68-106 / ValidJson.purs:14-21). Raises Failure like the
+    plain checker. Children of Any-validated containers are AnySchema."""
+    # checkAny
+    if ANY in nodes:
+        return {"schema": "AnySchema", "value": _annotate_children(v, None, m)}
+    errs = []
+    try:
+        return _annotate_prim(v, nodes, par, m)
+    except Failure as e1:
+        errs.append(e1)
+    customs = sorted(n[1] for n in nodes if n[0] == "custom")
+    for ident in customs:
+        try:
+            sub = _annotate(v, m[ident].types_as, ident, m)
+            # checkCustom re-tags the whole tree (Medea.purs:330-333 `$>`)
+            return _retag(sub, f"UserDefined:{ident}")
+        except Failure as e:
+            errs.append(e)
+    raise _combine(errs)
+
+
+def _retag(tree: dict, tag: str) -> dict:
+    out = {"schema": tag, "value": tree["value"]}
+    if isinstance(tree["value"], list):
+        out["value"] = [_retag(c, tag) if isinstance(c, dict) and "schema" in c else c for c in tree["value"]]
+    elif isinstance(tree["value"], dict):
+        out["value"] = {
+            k: (_retag(c, tag) if isinstance(c, dict) and "schema" in c else c)
+            for k, c in tree["value"].items()
+        }
+    return out
+
+
+def _annotate_children(v, node, m):
+    if isinstance(v, list):
+        return [
+            _annotate(x, frozenset({node}) if node else frozenset({ANY}), None, m)
+            for x in v
+        ]
+    if isinstance(v, dict):
+        return {
+            k: _annotate(x, frozenset({node}) if node else frozenset({ANY}), None, m)
+            for k, x in v.items()
+        }
+    return v
+
+
+def _annotate_prim(v, nodes, par, m) -> dict:
+    t = _typeof(v)
+    if ("prim", t) not in nodes:
+        raise Failure(E.NOT_ONE_OF_OPTIONS, json.dumps(v))
+    if t == "string" and par is not None:
+        vals = m[par].string_vals
+        if vals and v not in vals:
+            raise Failure(E.NOT_ONE_OF_OPTIONS, json.dumps(v))
+    schema = _PRIM_SCHEMA_INFO[t]
+    if t == "array":
+        if par is None:
+            return {"schema": schema, "value": _annotate_children(v, None, m)}
+        _check_array(v, par, m)  # bounds/arity errors first
+        cs = m[par]
+        if cs.array_type is None:
+            kids = [_annotate(x, frozenset({ANY}), None, m) for x in v]
+        elif cs.array_type[0] == "list":
+            kids = [
+                _annotate(x, frozenset({cs.array_type[1]}), None, m) for x in v
+            ]
+        else:
+            kids = [
+                _annotate(x, frozenset({node}), None, m)
+                for x, node in zip(v, cs.array_type[1])
+            ]
+        return {"schema": schema, "value": kids}
+    if t == "object":
+        if par is None:
+            return {"schema": schema, "value": _annotate_children(v, None, m)}
+        cs = m[par]
+        kids = {}
+        for prop_name, val in v.items():
+            if prop_name in cs.props:
+                node = cs.props[prop_name][0]
+            elif cs.additional_props:
+                node = cs.additional_prop_schema
+            else:
+                raise Failure(E.ADDITIONAL_PROP_BANNED, f"{par}.{prop_name}")
+            kids[prop_name] = _annotate(val, frozenset({node}), None, m)
+        for prop_name, (node, optional) in cs.props.items():
+            if prop_name not in v and not optional:
+                raise Failure(E.REQUIRED_PROP_MISSING, f"{par}.{prop_name}")
+        return {"schema": schema, "value": kids}
+    return {"schema": schema, "value": v}
+
+
+def validate_annotated(m: Dict[str, CompiledMedea], doc: str):
+    """≙ validate returning the full annotation tree. (None, error) on
+    failure; (tree, None) on success."""
+    try:
+        v = json.loads(doc)
+    except (ValueError, TypeError):
+        return None, E.NOT_JSON
+    try:
+        return _annotate(v, frozenset({("custom", "$start")}), None, m), None
+    except Failure as e:
+        return None, e.err
+
+
 def validate(m: Dict[str, CompiledMedea], doc: str) -> Tuple[bool, Optional[str], Optional[str]]:
     """≙ validate (Medea.purs:146-153): JSON text → (valid, error_class,
     schema_info). Seeds with {CustomNode $start}."""

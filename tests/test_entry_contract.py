@@ -11,8 +11,13 @@ import __spark_entry__ as em
 def test_oracle_keys_subset_of_queries():
     qs, os_ = em.queries(), em.oracle_sql()
     assert set(os_) <= set(qs)
-    # the overwhelming majority of queries must be oracle-checked
-    assert len(os_) >= len(qs) - 4
+    # exactly the hash/kmeans-seeded queries are rows-only — everything
+    # else must carry a DuckDB oracle
+    rows_only = set(qs) - set(os_)
+    assert rows_only == {
+        "dedup_minhash_lsh", "dedup_simhash", "ann_lsh", "ann_ivf",
+        "seq_validation",
+    }
 
 
 def test_entry_runs(spark):
