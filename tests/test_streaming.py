@@ -62,6 +62,35 @@ def test_foreach_batch_validation(spark, stream_input, tmp_path):
     assert collected["failed"] == want_failed > 0
 
 
+def test_stateful_streaming_dedup(spark, tmp_path):
+    """applyInPandasWithState cross-batch duplicate detection."""
+    import os
+
+    from medea_ps_spark.streaming.stateful_dedup import streaming_duplicate_ids
+
+    d = str(tmp_path)
+    dup = spark.createDataFrame(
+        [("a",), ("b",), ("a",), ("c",), ("b",), ("a",)], "doc_id string"
+    )
+    dup.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "in"))
+    stream = spark.readStream.schema("doc_id string").parquet(os.path.join(d, "in"))
+    out = streaming_duplicate_ids(stream, buckets=4)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dups_t")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(d, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    rows = sorted(
+        (r["doc_id"], r["n_seen_before"])
+        for r in spark.sql("select * from dups_t").collect()
+    )
+    assert rows == [("a", 1), ("a", 1), ("b", 1)]
+
+
 def test_windowed_violation_counts_streaming(spark, stream_input, tmp_path):
     path, schema = stream_input
     compiled = _compiled(schema)
