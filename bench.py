@@ -28,7 +28,9 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 SEQ_ROWS = int(os.environ.get("MEDEA_BENCH_SEQ_ROWS", "1500000"))
 RUN_SCALING = os.environ.get("MEDEA_BENCH_SCALING", "1") != "0"
 SEQ_MAX_LEN = 2048  # bench sequence-length cap (mean ~512 tokens/row)
-SEQ_PATH = "/tmp/medea_bench_sequences"
+# cache path is row-count-specific so a row-count change can't reuse
+# a stale input
+SEQ_PATH = f"/tmp/medea_bench_sequences_{SEQ_ROWS}"
 
 
 def _session(cores: int):
