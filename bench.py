@@ -169,17 +169,17 @@ def main():
     info = None
     levels = [2, max(2, CPUS // 4), CPUS] if RUN_SCALING else [CPUS]
     levels = sorted(set(levels))
-    times = {}
-    for cores in levels:
-        spark = _session(cores)
-        _materialize_input(spark)
-        _row_validate_job(spark)  # warm JIT/codegen, untimed
-        runs = []
-        for _ in range(reps):
+    times = {c: [] for c in levels}
+    # INTERLEAVED reps (fresh JVM each) so a noise burst hits all levels
+    # roughly equally instead of poisoning one level's whole sample
+    for _ in range(reps):
+        for cores in levels:
+            spark = _session(cores)
+            _materialize_input(spark)
+            _row_validate_job(spark)  # warm JIT/codegen, untimed
             t, info = timed(_row_validate_job, spark)
-            runs.append(t)
-        times[cores] = runs
-        spark.stop()
+            times[cores].append(t)
+            spark.stop()
     t_big = min(times[CPUS])
     rows_per_sec = SEQ_ROWS / t_big
     results["seq_validate_rows"] = round(t_big, 3)
