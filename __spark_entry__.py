@@ -185,6 +185,44 @@ def q_drift_chi2(spark, sf_dir):
     return stat
 
 
+def q_drift_chi2_by_source(spark, sf_dir):
+    """Per-PARTITION drift: the same two-sample χ² computed per source
+    in ONE grouped aggregation (north star: per-partition verdicts)."""
+    from medea_ps_spark.operators.sketches import bucket_expr
+
+    df = _docs(spark, sf_dir)
+    h = (
+        df.withColumn("bucket", bucket_expr("n_chars", 0, 800, 16))
+        .groupBy("source", "bucket")
+        .agg(
+            # NB: source == doc_id % 20 in this corpus, so a plain
+            # even/odd id split is constant per source; split on id//20
+            F.sum((F.floor(F.col("doc_id") / 20) % 2 == 0).cast("bigint")).alias("o1"),
+            F.sum((F.floor(F.col("doc_id") / 20) % 2 == 1).cast("bigint")).alias("o2"),
+        )
+    )
+    tot = h.groupBy("source").agg(
+        F.sum("o1").alias("n1"), F.sum("o2").alias("n2")
+    )
+    return (
+        h.join(tot, "source")
+        .where((F.col("o1") + F.col("o2") > 0) & (F.col("n1") > 0) & (F.col("n2") > 0))
+        .select(
+            "source",
+            (
+                F.pow(
+                    F.sqrt(F.col("n2") / F.col("n1")) * F.col("o1")
+                    - F.sqrt(F.col("n1") / F.col("n2")) * F.col("o2"),
+                    F.lit(2.0),
+                )
+                / (F.col("o1") + F.col("o2"))
+            ).alias("term"),
+        )
+        .groupBy("source")
+        .agg(F.round(F.sum("term"), 4).alias("chi2_stat"))
+    )
+
+
 def q_ks_stat(spark, sf_dir):
     """Binned KS distance between the n_chars distributions of lang=en
     vs lang=es — windowed cumulative sums, one agg + one window."""
@@ -512,6 +550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "referential_violations": q_referential_violations,
         "histogram_n_chars": q_histogram_n_chars,
         "drift_chi2": q_drift_chi2,
+        "drift_chi2_by_source": q_drift_chi2_by_source,
         "ks_stat": q_ks_stat,
         "medea_validate_events": q_medea_validate_events,
         "dedup_exact": q_dedup_exact,
@@ -667,6 +706,24 @@ def oracle_sql() -> dict[str, str]:
                          - sqrt(CAST(n1 AS DOUBLE)/n2)*o2, 2) / (o1+o2)
                    ), 4) AS chi2_stat
             FROM h, t WHERE o1 + o2 > 0
+        """,
+        "drift_chi2_by_source": f"""
+            WITH h AS (
+              SELECT source, {b16} AS bucket,
+                     sum(CASE WHEN CAST(floor(doc_id / 20.0) AS BIGINT) % 2 = 0
+                         THEN 1 ELSE 0 END) AS o1,
+                     sum(CASE WHEN CAST(floor(doc_id / 20.0) AS BIGINT) % 2 = 1
+                         THEN 1 ELSE 0 END) AS o2
+              FROM documents GROUP BY 1, 2
+            ), t AS (SELECT source, sum(o1) n1, sum(o2) n2 FROM h GROUP BY source)
+            SELECT h.source,
+                   round(sum(
+                     pow(sqrt(CAST(n2 AS DOUBLE)/n1)*o1
+                         - sqrt(CAST(n1 AS DOUBLE)/n2)*o2, 2) / (o1+o2)
+                   ), 4) AS chi2_stat
+            FROM h JOIN t ON h.source = t.source
+            WHERE o1 + o2 > 0 AND n1 > 0 AND n2 > 0
+            GROUP BY h.source
         """,
         "ks_stat": f"""
             WITH h AS (
