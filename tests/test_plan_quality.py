@@ -76,6 +76,28 @@ def test_histogram_is_two_phase_agg(spark):
     assert "SortMergeJoin" not in plan
 
 
+def test_bucketed_join_has_no_exchange(spark):
+    """Co-located join: same key, same bucket count ⇒ no shuffle on
+    either side (SURVEY.md §4 partitioning row)."""
+    from medea_ps_spark.sources.tables import write_bucketed
+    from medea_ps_spark.sources.synthetic import sequences
+
+    a = sequences(spark, 2000, seed=31).select("doc_id", "n_tok")
+    b = sequences(spark, 2000, seed=31).select("doc_id", "source")
+    write_bucketed(a, "bq_a", "doc_id", num_buckets=8)
+    write_bucketed(b, "bq_b", "doc_id", num_buckets=8)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        j = spark.table("bq_a").join(spark.table("bq_b"), "doc_id")
+        plan = plan_of(j)
+        assert "Exchange" not in plan, plan
+        assert j.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+        spark.sql("DROP TABLE IF EXISTS bq_a")
+        spark.sql("DROP TABLE IF EXISTS bq_b")
+
+
 def test_minhash_signature_no_shuffle(spark):
     from medea_ps_spark.operators.dedup import minhash_signature
 
