@@ -157,7 +157,7 @@ def bench_queries(spark) -> dict:
 def main():
     results = {}
     scaling = {}
-    reps = int(os.environ.get("MEDEA_BENCH_REPS", "3"))
+    reps = int(os.environ.get("MEDEA_BENCH_REPS", "2"))
 
     # -- scaling evidence (north rule: throughput at N and 4N executors,
     # efficiency >= 0.8). Two N->4N pairs are measured: 2->8 cores
@@ -225,4 +225,19 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except Exception as exc:  # always emit one JSON line for the driver
+        print(
+            json.dumps(
+                {
+                    "metric": "validated_sequences_per_sec",
+                    "value": 0,
+                    "unit": "sec",
+                    "queries": {},
+                    "sf": SF_DIR,
+                    "error": f"{type(exc).__name__}: {exc}",
+                }
+            )
+        )
+        raise SystemExit(1)
