@@ -177,6 +177,18 @@ def test_profile_json_roundtrip(spark):
 # -- salted anti-join -------------------------------------------------------------
 
 
+def test_salted_inner_join_matches_plain(spark, seq_df):
+    from medea_ps_spark.operators.referential import salted_inner_join
+
+    dim = synthetic.allowed_sources(spark)
+    plain = seq_df.join(dim, "source", "inner")
+    salted = salted_inner_join(seq_df, dim, "source", salt_buckets=8)
+    assert salted.count() == plain.count()
+    a = {tuple(r) for r in plain.select("doc_id", "license_ok").collect()}
+    b = {tuple(r) for r in salted.select("doc_id", "license_ok").collect()}
+    assert a == b
+
+
 def test_salted_anti_join_matches_plain(spark, seq_df):
     dim = synthetic.allowed_sources(spark)
     plain = seq_df.join(dim.select("source"), "source", "left_anti")
