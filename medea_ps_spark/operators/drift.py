@@ -217,6 +217,74 @@ def chi2_drift_by_partition(
     return out
 
 
+def ks_drift_by_partition(
+    df: DataFrame,
+    profile: ReferenceProfile,
+    name: str,
+    partition_col: str = "source",
+    alpha: float = 0.001,
+):
+    """Per-partition binned KS vs the profile — same single-agg sketch
+    collection as chi2_drift_by_partition."""
+    p = profile.columns[name]
+    h = histogram(df, p.column, p.lo, p.hi, p.nbuckets, partition_col=partition_col)
+    rows = h.collect()
+    parts = sorted({r[partition_col] for r in rows})
+    exp = np.array(p.counts, dtype=np.float64)
+    n_exp = exp.sum()
+    out = []
+    for part in parts:
+        obs = np.zeros(p.nbuckets, dtype=np.float64)
+        for r in rows:
+            if r[partition_col] == part:
+                obs[r["bucket"]] = r["bucket_count"]
+        n_obs = obs.sum()
+        if n_obs == 0 or n_exp == 0:
+            out.append({"partition": part, "stat": float("nan"), "pvalue": 0.0})
+            continue
+        d = float(np.abs(np.cumsum(obs) / n_obs - np.cumsum(exp) / n_exp).max())
+        pv = ks_2samp_pvalue(d, n_obs, n_exp)
+        out.append(
+            {
+                "partition": part, "name": name, "test": "ks", "stat": d,
+                "pvalue": pv, "n": int(n_obs), "drifted": bool(pv < alpha),
+                "alpha": alpha,
+            }
+        )
+    return out
+
+
+def quantile_drift(
+    df: DataFrame,
+    reference_quantiles: Dict[float, float],
+    column: str,
+    partition_col: str = "source",
+    rel_tolerance: float = 0.25,
+    compression: int = 200,
+) -> Dict:
+    """t-digest quantile-shift monitor: flags when any monitored
+    quantile moves more than rel_tolerance from the reference profile.
+    Complements χ²/KS (which need binning) with tail-aware checks."""
+    from .sketches import merge_tdigests, tdigest_by_partition
+
+    rows = tdigest_by_partition(df, column, partition_col, compression).collect()
+    d = merge_tdigests([r["tdigest"] for r in rows], compression)
+    verdicts = {}
+    drifted = False
+    for q, ref in reference_quantiles.items():
+        got = d.quantile(q)
+        rel = abs(got - ref) / max(abs(ref), 1e-12)
+        verdicts[q] = {"reference": ref, "observed": got, "rel_change": rel}
+        drifted = drifted or rel > rel_tolerance
+    return {
+        "column": column,
+        "test": "quantile_shift",
+        "quantiles": verdicts,
+        "drifted": drifted,
+        "rel_tolerance": rel_tolerance,
+    }
+
+
 def drift_verdicts(
     df: DataFrame,
     profile: ReferenceProfile,
