@@ -488,6 +488,28 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_corpus_clean(spark, sf_dir):
+    """Corpus-cleaning composition (exact dedup → quality filter) with
+    full SQL oracle — per-stage survivor counts. (The near-dup stage is
+    xxhash-seeded and certified separately.)"""
+    from medea_ps_spark.operators.dedup import dedup_exact
+    from medea_ps_spark.operators.textquality import quality_features
+
+    df = _docs(spark, sf_dir)
+    n_input = df.select(F.count(F.lit(1)).alias("x"))
+    deduped = dedup_exact(df, "text", "doc_id")
+    quality = quality_features(deduped).where(F.col("quality_ok"))
+    return (
+        n_input.crossJoin(
+            deduped.select(F.count(F.lit(1)).alias("n_after_dedup"))
+        )
+        .crossJoin(quality.select(F.count(F.lit(1)).alias("n_after_quality")))
+        .select(
+            F.col("x").alias("n_input"), "n_after_dedup", "n_after_quality"
+        )
+    )
+
+
 def q_lineitem_pricing(spark, sf_dir):
     """TPC-H Q1-style rollup — engine breadth + bench headline."""
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
@@ -565,6 +587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_quality": q_text_quality,
         "text_en_markers": q_text_en_markers,
         "text_fingerprints": q_text_fingerprints,
+        "corpus_clean": q_corpus_clean,
         "array_ops_check": q_array_ops_check,
         "events_top_users": q_events_top_users,
         "events_hourly": q_events_hourly,
@@ -857,6 +880,18 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    round(sum(value), 2) AS total_value
             FROM events GROUP BY 1
+        """,
+        "corpus_clean": f"""
+            WITH ranked AS (
+              SELECT doc_id, text,
+                     row_number() OVER (PARTITION BY {_FP}
+                                        ORDER BY doc_id) AS rn
+              FROM documents
+            ), deduped AS (SELECT doc_id, text FROM ranked WHERE rn = 1)
+            SELECT (SELECT count(*) FROM documents) AS n_input,
+                   (SELECT count(*) FROM deduped) AS n_after_dedup,
+                   (SELECT count(*) FROM deduped WHERE {_QUALITY_OK})
+                     AS n_after_quality
         """,
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,
