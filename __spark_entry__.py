@@ -479,6 +479,33 @@ def q_events_top_users(spark, sf_dir):
     )
 
 
+def q_events_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity): lag + cumulative
+    session counter per user — window-function breadth with a full SQL
+    oracle."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet timestamps are NTZ; session tz is UTC → epoch is stable
+    epoch = F.unix_seconds(F.col("ts").cast("timestamp"))
+    gap = epoch - F.lag(epoch).over(w)
+    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn(
+        "session_id", F.sum(new_sess).over(w)
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    return per_session.groupBy().agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.round(F.avg(F.col("n_events").cast("double")), 4).alias(
+            "avg_events_per_session"
+        ),
+        F.max("n_events").alias("max_session_events"),
+    )
+
+
 def q_events_hourly(spark, sf_dir):
     """Time-bucketed rollup (streaming-window analogue in batch)."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -591,6 +618,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "array_ops_check": q_array_ops_check,
         "events_top_users": q_events_top_users,
         "events_hourly": q_events_hourly,
+        "events_sessions": q_events_sessions,
         "lineitem_pricing": q_lineitem_pricing,
         "orders_by_segment": q_orders_by_segment,
         "events_activity": q_events_activity,
@@ -874,6 +902,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, user_id,
                    round(total_value, 2) AS total_value, rank
             FROM ranked WHERE rank <= 2
+        """,
+        "events_sessions": """
+            WITH gapped AS (
+              SELECT user_id, ts, event_id,
+                     CASE WHEN lag(ts) OVER w IS NULL
+                            OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
+                          THEN 1 ELSE 0 END AS new_sess
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), sess AS (
+              SELECT user_id,
+                     sum(new_sess) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING) AS session_id
+              FROM gapped
+            ), per AS (
+              SELECT user_id, session_id, count(*) AS n_events
+              FROM sess GROUP BY user_id, session_id
+            )
+            SELECT count(*) AS n_sessions,
+                   round(avg(CAST(n_events AS DOUBLE)), 4)
+                     AS avg_events_per_session,
+                   max(n_events) AS max_session_events
+            FROM per
         """,
         "events_hourly": """
             SELECT CAST(extract(hour FROM ts) AS INT) AS hr,
