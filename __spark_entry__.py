@@ -576,18 +576,89 @@ def q_events_activity(spark, sf_dir):
     )
 
 
+# Committed BASELINE-shaped fixture (scripts/make_seq_fixture.py):
+# 20k rows, seed 42, max_len 128, every seeded violation class present.
+# A single parquet FILE so Spark and the DuckDB oracle read the exact
+# same bytes — this is what makes the hot path oracle-checkable.
+SEQ_FIXTURE = "/root/repo/tests/fixtures/sequences_small.parquet"
+SEQ_FIXTURE_MAX_LEN = 128
+
+
 def q_seq_validation(spark, sf_dir):
-    """The BASELINE.json hot path on the synthetic tokenized-sequence
-    table (deterministic xxhash64 fixture → rows-only check)."""
+    """The BASELINE.json hot path — per-source pass/fail verdicts over
+    the committed tokenized-sequence fixture, full row-constraint set
+    (NotNull, SizeEquals, InRange, ElementsInRange, ArrayLenBetween)."""
     from medea_ps_spark.sources import synthetic
     from medea_ps_spark.jobs.validate_job import build_registry
 
-    df = synthetic.sequences(spark, 50_000, seed=42)
+    df = spark.read.parquet(SEQ_FIXTURE)
     compiled = build_registry(
-        synthetic.VOCAB, synthetic.MAX_LEN, synthetic.ALLOWED_SOURCES
+        synthetic.VOCAB, SEQ_FIXTURE_MAX_LEN, synthetic.ALLOWED_SOURCES
     ).compile(df.schema)
     validated = V.validate(df, compiled)
-    return V.partition_verdicts(validated, "source")
+    return V.partition_verdicts(validated, "source").select(
+        "source", "n_rows", "n_passed", "n_failed", "n_violations",
+        "partition_passed",
+    )
+
+
+def q_seq_token_histogram(spark, sf_dir):
+    """Token-VALUE distribution sketch over the sequence fixture —
+    explode pipelined into a partial agg (shuffle = nbuckets rows/task)."""
+    from medea_ps_spark.operators.sketches import token_histogram
+    from medea_ps_spark.sources import synthetic
+
+    df = spark.read.parquet(SEQ_FIXTURE)
+    return token_histogram(df, "tokens", vocab=synthetic.VOCAB, nbuckets=32)
+
+
+def q_quantiles_tdigest(spark, sf_dir):
+    """t-digest quantiles, driver-visible: per-source digests merged and
+    queried, then CHECKED — for each p the estimate's empirical rank
+    must sit within 0.02 of p (the t-digest guarantee at compression
+    200), alongside the exact percentile for value comparison. A broken
+    digest flips rank_ok and fails the driver hash."""
+    from medea_ps_spark.operators.sketches import quantiles
+
+    ps = [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+    df = _docs(spark, sf_dir)
+    est = quantiles(df, "n_chars", ps, partition_col="source", compression=200)
+    col = F.col("n_chars").cast("double")
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, (p, e) in enumerate(est):
+        aggs.append(
+            F.sum((col <= F.lit(float(e))).cast("bigint")).alias(f"le_{i}")
+        )
+        aggs.append(F.percentile(col, F.lit(p)).alias(f"ex_{i}"))
+    wide = df.agg(*aggs)
+    stack = ", ".join(
+        f"CAST({p}D AS DOUBLE), round(ex_{i}, 4), "
+        f"abs(le_{i} / CAST(n AS DOUBLE) - {p}D) <= 0.02D"
+        for i, (p, _) in enumerate(est)
+    )
+    return wide.selectExpr(
+        f"stack({len(est)}, {stack}) AS (p, q_exact, rank_ok)"
+    )
+
+
+def q_referential_salted(spark, sf_dir):
+    """The SKEW path of the referential check: salted shuffle anti-join
+    (shuffle_hash hint, dim exploded ×salt) — must emit exactly the same
+    violation rows as the broadcast path's oracle."""
+    from medea_ps_spark.operators.referential import salted_anti_join
+
+    df = _docs(spark, sf_dir)
+    dim = spark.createDataFrame([(s,) for s in ALLOWED_SRC], "source string")
+    bad = salted_anti_join(
+        df, dim, "source", id_column="doc_id", salt_buckets=8,
+        force_shuffle=True,
+    )
+    return bad.select(
+        "doc_id",
+        F.coalesce(F.col("source").cast("string"), F.lit("null")).alias(
+            "observed"
+        ),
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -623,6 +694,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "orders_by_segment": q_orders_by_segment,
         "events_activity": q_events_activity,
         "seq_validation": q_seq_validation,
+        "seq_token_histogram": q_seq_token_histogram,
+        "quantiles_tdigest": q_quantiles_tdigest,
+        "referential_salted": q_referential_salted,
     }
 
 
@@ -793,10 +867,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "medea_validate_events": """
             SELECT event_type, count(*) AS n_events,
-                   sum(CASE WHEN json_valid(props)
+                   CAST(sum(CASE WHEN json_valid(props)
                              AND json_type(props::JSON) = 'OBJECT'
                              AND json_type(props::JSON, '$.k') IN ('BIGINT','UBIGINT','DOUBLE')
-                        THEN 1 ELSE 0 END) AS n_valid
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_valid
             FROM events GROUP BY event_type
         """,
         "dedup_exact": f"""
@@ -965,6 +1039,54 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(value), 2) AS total_value
             FROM events GROUP BY event_type
         """,
-        # dedup_minhash_lsh / dedup_simhash / ann_lsh / seq_validation:
-        # xxhash64- or fixture-seeded — rows-only check by design.
+        "seq_validation": f"""
+            WITH t AS (
+              SELECT source,
+                     CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END
+                   + CASE WHEN NOT (n_tok = len(tokens)) THEN 1 ELSE 0 END
+                   + CASE WHEN NOT (n_tok BETWEEN 1 AND {SEQ_FIXTURE_MAX_LEN})
+                          THEN 1 ELSE 0 END
+                   + CASE WHEN len(list_filter(tokens,
+                              x -> NOT (x >= 0 AND x < 50257))) > 0
+                          THEN 1 ELSE 0 END
+                   + CASE WHEN len(tokens) < 1 THEN 1 ELSE 0 END AS nv
+              FROM read_parquet('{SEQ_FIXTURE}')
+            )
+            SELECT source, count(*) AS n_rows,
+                   CAST(sum(CASE WHEN nv = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_passed,
+                   CAST(sum(CASE WHEN nv > 0 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_failed,
+                   CAST(sum(nv) AS BIGINT) AS n_violations,
+                   (sum(CASE WHEN nv > 0 THEN 1 ELSE 0 END) = 0)
+                     AS partition_passed
+            FROM t GROUP BY source
+        """,
+        "seq_token_histogram": f"""
+            SELECT CAST(least(greatest(CAST(floor(CAST(tok AS DOUBLE)
+                         / {50257.0 / 32}) AS BIGINT), 0), 31) AS INT)
+                     AS bucket,
+                   count(*) AS bucket_count
+            FROM (SELECT unnest(tokens) AS tok
+                  FROM read_parquet('{SEQ_FIXTURE}'))
+            GROUP BY 1
+        """,
+        "quantiles_tdigest": """
+            WITH q AS (
+              SELECT quantile_cont(CAST(n_chars AS DOUBLE),
+                                   [0.1, 0.25, 0.5, 0.75, 0.9, 0.99]) AS qs
+              FROM documents
+            )
+            SELECT CAST(ps.p AS DOUBLE) AS p,
+                   round(qs[ps.i], 4) AS q_exact,
+                   TRUE AS rank_ok
+            FROM q, (VALUES (1, 0.1), (2, 0.25), (3, 0.5),
+                            (4, 0.75), (5, 0.9), (6, 0.99)) ps(i, p)
+        """,
+        "referential_salted": f"""
+            SELECT doc_id, coalesce(CAST(source AS VARCHAR), 'null') AS observed
+            FROM documents WHERE source NOT IN ({_SRC_LIST}) OR source IS NULL
+        """,
+        # dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf:
+        # xxhash64- or kmeans-seeded — rows-only check by design.
     }

@@ -25,10 +25,16 @@ def salted_anti_join(
     key: str,
     id_column: str = "doc_id",
     salt_buckets: int = 32,
+    force_shuffle: bool = False,
 ) -> DataFrame:
     """Rows of ``fact`` whose ``key`` is absent from ``dim`` — correct
     under salting because every (key, salt) pair present on the fact
-    side exists on the dim side iff the key does."""
+    side exists on the dim side iff the key does.
+
+    ``force_shuffle=True`` pins a shuffle-hash join (hint) so the salted
+    path is exercised even when the dim would fit under the broadcast
+    threshold — used by tests and the driver's correctness gate to prove
+    the skew path is semantically identical to the broadcast one."""
     salt = F.pmod(
         F.xxhash64(F.coalesce(F.col(id_column).cast("string"), F.lit("")), F.col(key)),
         F.lit(salt_buckets),
@@ -40,6 +46,8 @@ def salted_anti_join(
             "_salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
         )
     )
+    if force_shuffle:
+        d = d.hint("shuffle_hash")
     return f.join(d, on=[key, "_salt"], how="left_anti").drop("_salt")
 
 

@@ -75,12 +75,26 @@ def main(sf_dir: str) -> int:
         for c in g.columns:
             a, b = g[c], w[c]
             if np.issubdtype(a.dtype, np.number) and np.issubdtype(b.dtype, np.number):
-                if not np.allclose(
-                    a.astype(float), b.astype(float), rtol=1e-9, atol=1e-9,
-                    equal_nan=True,
-                ):
-                    mismatch = c
+                # The driver's value-hash is dtype-strict: an int64 Spark
+                # column vs a float64 oracle column (e.g. DuckDB HUGEINT
+                # sums landing in pandas as float) hashes differently even
+                # when values agree. Mirror that: dtype KIND must match.
+                a_int = np.issubdtype(a.dtype, np.integer)
+                b_int = np.issubdtype(b.dtype, np.integer)
+                if a_int != b_int:
+                    mismatch = f"{c} (dtype {a.dtype} vs {b.dtype})"
                     break
+                if a_int:
+                    if not (a.astype("int64") == b.astype("int64")).all():
+                        mismatch = c
+                        break
+                else:
+                    av = a.astype(float).round(6)
+                    bv = b.astype(float).round(6)
+                    eq = (av == bv) | (np.isnan(av) & np.isnan(bv))
+                    if not eq.all():
+                        mismatch = c
+                        break
             else:
                 if not (a.astype(str) == b.astype(str)).all():
                     mismatch = c
