@@ -12,12 +12,21 @@ Scale notes (100 TB):
   carries (band, bucket-hash, id); candidate verification joins only
   within buckets. Super-frequent shingles can be frequency-capped
   upstream with a document-frequency filter.
-* simhash: 64-bit fingerprints; near-dup candidates via band equality
-  (4×16-bit) then Hamming verify — integers end to end.
+* simhash: 64-bit fingerprints; near-dup candidates via Manku-style
+  block banding (WWW'07 "Detecting Near-Duplicates for Web Crawling"):
+  split the fingerprint into m blocks, probe every (m−k)-block subset —
+  key space grows with key WIDTH (e.g. 48 of 64 bits), not a fixed
+  65,536 buckets, so bucket population stays flat as the corpus grows.
+* degenerate buckets: boilerplate / near-empty docs hash identically at
+  corpus scale, making any bucket self-join quadratic in that bucket.
+  ``max_bucket_size`` drops over-populated buckets before the join
+  (the capped docs are exact-dup territory — handled by exact dedup,
+  not LSH), bounding every candidate join at O(n · cap).
 """
 
 from __future__ import annotations
 
+from itertools import combinations
 from typing import Optional
 
 from pyspark.sql import DataFrame, Window, functions as F
@@ -91,14 +100,34 @@ def minhash_signature(
     )
 
 
+def _cap_buckets(
+    buckets: DataFrame, keys: list, max_bucket_size: Optional[int]
+) -> DataFrame:
+    """Drop bucket groups larger than ``max_bucket_size`` BEFORE the
+    candidate self-join. One window count over the same shuffle key the
+    join needs anyway; without it a single degenerate bucket (identical
+    boilerplate at corpus scale) makes the join quadratic in the bucket.
+    Docs dropped here are near-identical en masse — exact dedup's job."""
+    if max_bucket_size is None:
+        return buckets
+    w = Window.partitionBy(*keys)
+    return (
+        buckets.withColumn("_bsz", F.count(F.lit(1)).over(w))
+        .where(F.col("_bsz") <= max_bucket_size)
+        .drop("_bsz")
+    )
+
+
 def minhash_lsh_candidates(
     sigs: DataFrame,
     id_col: str = "doc_id",
     bands: int = 8,
     rows_per_band: int = 4,
+    max_bucket_size: Optional[int] = None,
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
-    Shuffle = (band, bucket, id) triples; the join is bucket-local."""
+    Shuffle = (band, bucket, id) triples; the join is bucket-local and,
+    with ``max_bucket_size``, bounded at O(n · cap) candidates."""
     buckets = sigs.select(
         F.col(id_col),
         F.explode(
@@ -115,6 +144,7 @@ def minhash_lsh_candidates(
             )
         ).alias("bb"),
     ).select(id_col, "bb.band", "bb.bucket")
+    buckets = _cap_buckets(buckets, ["band", "bucket"], max_bucket_size)
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (
@@ -140,13 +170,19 @@ def minhash_near_duplicates(
     shingle_k: int = 3,
     threshold: float = 0.7,
     seed: int = 42,
+    max_bucket_size: Optional[int] = 1000,
 ) -> DataFrame:
     """Full pipeline: minhash → band buckets → candidates → verify with
     the exact shingle-set Jaccard (array_intersect/array_union — JVM).
-    Returns (id_a, id_b, jaccard) with jaccard ≥ threshold."""
+    Returns (id_a, id_b, jaccard) with jaccard ≥ threshold.
+
+    ``max_bucket_size`` (default 1000) caps every band bucket so a
+    degenerate bucket can't go quadratic; pass None to disable."""
     rows_per_band = num_hashes // bands
     sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_k, seed)
-    cand = minhash_lsh_candidates(sigs, id_col, bands, rows_per_band)
+    cand = minhash_lsh_candidates(
+        sigs, id_col, bands, rows_per_band, max_bucket_size
+    )
     shing = df.select(
         F.col(id_col),
         F.array_distinct(word_shingles(F.col(text_col), k=shingle_k)).alias("_sh"),
@@ -201,39 +237,70 @@ def simhash(
     return hashed.select(F.col(id_col), sig.alias("simhash"))
 
 
+def _block_bounds(bits: int, m: int):
+    """Split ``bits`` into m contiguous blocks of near-equal width —
+    returns [(offset, width)] per block."""
+    base, rem = divmod(bits, m)
+    widths = [base + (1 if i < rem else 0) for i in range(m)]
+    offs = [sum(widths[:i]) for i in range(m)]
+    return list(zip(offs, widths))
+
+
 def simhash_near_duplicates(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     max_hamming: int = 3,
     seed: int = 42,
+    blocks: Optional[int] = None,
+    max_bucket_size: Optional[int] = 1000,
 ) -> DataFrame:
-    """Near-dups with Hamming(simhash) ≤ max_hamming. Candidates via
-    4×16-bit band equality (pigeonhole: ≤3 differing bits ⇒ ≥1 equal
-    band), verified with bit_count(xor)."""
+    """Near-dups with Hamming(simhash) ≤ max_hamming, verified with
+    bit_count(xor).
+
+    Candidate generation is the Manku/Jain/Sarma block-permutation
+    scheme: the 64-bit fingerprint is split into ``blocks`` (m) blocks;
+    for the pigeonhole tolerance g = min(max_hamming, 4), any g bit
+    flips touch ≤ g blocks, so every pair within Hamming g shares ALL
+    blocks of at least one (m−g)-subset. Each subset is one probe whose
+    bucket key hashes (m−g) blocks ≈ 64·(m−g)/m bits of fingerprint —
+    key space scales with corpus size, unlike fixed 16-bit bands whose
+    65,536 buckets/band fill up linearly and make the join quadratic.
+    Defaults: m = g+3 → C(m, g) probes (g=3 → 20 probes of ~32 bits).
+    For max_hamming > 4 the guarantee stays at 4 (recall above that is
+    best-effort, as with any simhash banding). ``max_bucket_size`` drops
+    degenerate buckets before the join (see module docstring)."""
     sigs = simhash(df, text_col, id_col, seed=seed)
+    g = min(max_hamming, 4)
+    m = blocks if blocks is not None else g + 3
+    if m <= g:
+        raise ValueError(f"blocks ({m}) must exceed pigeonhole tolerance ({g})")
+    bounds = _block_bounds(64, m)
+
+    def block_val(off: int, width: int):
+        mask = (1 << width) - 1
+        return F.shiftright(F.col("simhash"), off).bitwiseAND(F.lit(mask))
+
+    probes = [
+        F.struct(
+            F.lit(pi).alias("probe"),
+            F.xxhash64(
+                F.lit(pi), *[block_val(*bounds[j]) for j in subset]
+            ).alias("bucket"),
+        )
+        for pi, subset in enumerate(combinations(range(m), m - g))
+    ]
     bands = sigs.select(
         F.col(id_col),
         F.col("simhash"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.shiftright(F.col("simhash"), b * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
-                        .alias("bucket"),
-                    )
-                    for b in range(4)
-                ]
-            )
-        ).alias("bb"),
-    ).select(id_col, "simhash", "bb.band", "bb.bucket")
+        F.explode(F.array(*probes)).alias("bb"),
+    ).select(id_col, "simhash", "bb.probe", "bb.bucket")
+    bands = _cap_buckets(bands, ["probe", "bucket"], max_bucket_size)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
             b,
-            (F.col("a.band") == F.col("b.band"))
+            (F.col("a.probe") == F.col("b.probe"))
             & (F.col("a.bucket") == F.col("b.bucket"))
             & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
         )

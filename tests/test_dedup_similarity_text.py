@@ -125,6 +125,49 @@ def test_minhash_jaccard_estimate_unbiased(spark):
     assert abs(est - true_j) < 0.15
 
 
+def test_minhash_lsh_bucket_cap_bounds_degenerate_corpus(spark):
+    """A boilerplate corpus (one text repeated n times) puts every doc
+    in the same band buckets; uncapped, the candidate join is n²/2.
+    With max_bucket_size the candidate count must stay O(n), and
+    distinct planted near-dups must still pair."""
+    boiler = "this exact boilerplate footer appears on every single page " * 3
+    planted = (
+        "a genuinely unique research abstract about sparse attention kernels "
+        "and their throughput on long sequence lengths in production racks"
+    )
+    n = 200
+    rows = [(f"b{i:04d}", boiler) for i in range(n)]
+    rows += [("p0", planted), ("p1", planted + " extra trailing words here")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    sigs = DD.minhash_signature(df, num_hashes=32)
+    uncapped = DD.minhash_lsh_candidates(sigs, bands=8, rows_per_band=4)
+    capped = DD.minhash_lsh_candidates(
+        sigs, bands=8, rows_per_band=4, max_bucket_size=50
+    )
+    assert uncapped.count() >= n * (n - 1) // 2  # quadratic without the cap
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert len(got) <= 4 * n  # O(n), not O(n²)
+    assert ("p0", "p1") in got  # planted pair survives the cap
+
+
+def test_simhash_bucket_cap_bounds_degenerate_corpus(spark):
+    boiler = "identical legal disclaimer text repeated across the corpus " * 3
+    n = 150
+    planted = (
+        "unique discussion of columnar shuffle formats in modern distributed "
+        "query engines and their cache behavior " * 2
+    )
+    rows = [(f"b{i:04d}", boiler) for i in range(n)]
+    rows += [("p0", planted), ("p1", planted + " now")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    capped = DD.simhash_near_duplicates(
+        df, max_hamming=4, max_bucket_size=50
+    )
+    got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert len(got) <= 4 * n
+    assert ("p0", "p1") in got
+
+
 # -- simhash -----------------------------------------------------------------------
 
 
