@@ -31,10 +31,18 @@ def train_centroids(
     seed: int = 42,
 ) -> np.ndarray:
     """Lloyd k-means on a driver-side sample (normalized vectors →
-    spherical k-means, appropriate for cosine)."""
+    spherical k-means, appropriate for cosine).
+
+    The sample is drawn by ordering on a content hash and taking the
+    top ``sample`` rows (TakeOrderedAndProject: per-partition top-k +
+    driver merge, no full sort). Unlike ``.limit()`` — which drains
+    whichever partitions answer first and trains the quantizer on one
+    stratum of a partitioned table — the hash order is independent of
+    partition layout, so the sample is uniform AND deterministic."""
     rows = (
         df.select(vec_col)
         .where(F.col(vec_col).isNotNull())
+        .orderBy(F.xxhash64(F.col(vec_col), F.lit(seed)))
         .limit(sample)
         .collect()
     )

@@ -3,6 +3,14 @@
 quality filter → language filter, emitting the clean corpus plus an
 audit report of what each stage removed (so the pipeline is a
 first-class, inspectable operator rather than a notebook).
+
+Single-action audit: every stage is expressed as a boolean KEEP flag on
+one flagged DataFrame (row-local predicates AND a left join against the
+small near-dup component map), so ALL per-stage survivor counts come
+from ONE aggregation pass instead of one full-lineage count per stage —
+at 100 TB that's one corpus scan for the audit, not five. The only
+internal actions left are the connected-components iterations, which
+run over the (tiny) near-dup edge set, not the corpus.
 """
 
 from __future__ import annotations
@@ -10,11 +18,18 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import Dict, List, Optional
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
-from .dedup import dedup_exact, minhash_near_duplicates
-from .dedup_cluster import dedup_by_clusters
+from ..functions.text import fingerprint
+from .dedup import minhash_near_duplicates
+from .dedup_cluster import connected_components
 from .textquality import language_scores, quality_features
+
+_INTERNAL_COLS = (
+    "n_chars_q", "n_tokens", "n_tokens_bpe", "punct_ratio",
+    "stopword_ratio", "mean_token_len", "quality_ok", "lang_guess",
+)
+_FLAG_COLS = ("_keep_exact", "_keep_near", "_keep_quality", "_keep_lang")
 
 
 @dataclass
@@ -36,53 +51,69 @@ def clean_corpus(
     minhash_threshold: float = 0.7,
     lang_col: Optional[str] = None,
 ) -> tuple:
-    """Returns (clean_df, CleaningReport). Each stage is lazily
-    composed; counts force one action per stage boundary (acceptable:
-    the audit itself is a requirement)."""
-    rep = CleaningReport(input_rows=df.count())
-
-    out = dedup_exact(df, text_col, id_col)
-    rep.after_exact_dedup = out.count()
-    rep.stages.append(
-        {"stage": "exact_dedup", "removed": rep.input_rows - rep.after_exact_dedup}
-    )
+    """Returns (clean_df, CleaningReport). Stage survivorship is encoded
+    as cumulative flag columns; the report is ONE aggregation job."""
+    w = Window.partitionBy(fingerprint(F.col(text_col))).orderBy(F.col(id_col))
+    flagged = df.withColumn("_keep_exact", F.row_number().over(w) == 1)
 
     if near_dup:
+        survivors = flagged.where(F.col("_keep_exact")).drop("_keep_exact")
         pairs = minhash_near_duplicates(
-            out, text_col, id_col, threshold=minhash_threshold
+            survivors, text_col, id_col, threshold=minhash_threshold
         )
-        out = dedup_by_clusters(out, pairs.select("id_a", "id_b"), id_col)
-        rep.after_near_dedup = out.count()
-        rep.stages.append(
-            {
-                "stage": "near_dedup",
-                "removed": rep.after_exact_dedup - rep.after_near_dedup,
-            }
-        )
+        comp = connected_components(pairs).withColumnRenamed(
+            "node", id_col
+        ).withColumnRenamed("component", "_canon")
+        # the component map is the near-dup population — usually tiny
+        # relative to the corpus, but unbounded in the worst case, so
+        # leave the join strategy to AQE (converts to broadcast when the
+        # runtime size allows) instead of forcing a driver broadcast
+        flagged = flagged.join(comp, on=id_col, how="left")
+        flagged = flagged.withColumn(
+            "_keep_near",
+            F.col("_keep_exact")
+            & (F.col("_canon").isNull() | (F.col("_canon") == F.col(id_col))),
+        ).drop("_canon")
     else:
-        rep.after_near_dedup = rep.after_exact_dedup
+        flagged = flagged.withColumn("_keep_near", F.col("_keep_exact"))
 
-    out = quality_features(out, text_col).where(F.col("quality_ok"))
-    rep.after_quality = out.count()
-    rep.stages.append(
-        {"stage": "quality", "removed": rep.after_near_dedup - rep.after_quality}
+    flagged = quality_features(flagged, text_col).withColumn(
+        "_keep_quality", F.col("_keep_near") & F.col("quality_ok")
     )
 
     if allowed_langs:
         col = lang_col
         if col is None:
-            out = language_scores(out, text_col)
+            flagged = language_scores(flagged, text_col)
             col = "lang_guess"
-        out = out.where(F.col(col).isin(allowed_langs))
-    rep.after_language = out.count()
-    rep.stages.append(
-        {"stage": "language", "removed": rep.after_quality - rep.after_language}
-    )
-    drop = [
-        c for c in (
-            "n_chars_q", "n_tokens", "n_tokens_bpe", "punct_ratio",
-            "stopword_ratio", "mean_token_len", "quality_ok", "lang_guess",
+        flagged = flagged.withColumn(
+            "_keep_lang", F.col("_keep_quality") & F.col(col).isin(allowed_langs)
         )
-        if c in out.columns
+    else:
+        flagged = flagged.withColumn("_keep_lang", F.col("_keep_quality"))
+
+    # -- the audit: ONE aggregation pass over the flagged corpus
+    counts = flagged.agg(
+        F.count(F.lit(1)).alias("n_input"),
+        *[
+            F.sum(F.col(c).cast("bigint")).alias(c)
+            for c in _FLAG_COLS
+        ],
+    ).collect()[0]
+    rep = CleaningReport(
+        input_rows=int(counts["n_input"]),
+        after_exact_dedup=int(counts["_keep_exact"]),
+        after_near_dedup=int(counts["_keep_near"]),
+        after_quality=int(counts["_keep_quality"]),
+        after_language=int(counts["_keep_lang"]),
+    )
+    rep.stages = [
+        {"stage": "exact_dedup", "removed": rep.input_rows - rep.after_exact_dedup},
+        {"stage": "near_dedup", "removed": rep.after_exact_dedup - rep.after_near_dedup},
+        {"stage": "quality", "removed": rep.after_near_dedup - rep.after_quality},
+        {"stage": "language", "removed": rep.after_quality - rep.after_language},
     ]
+
+    out = flagged.where(F.col("_keep_lang"))
+    drop = [c for c in _INTERNAL_COLS + _FLAG_COLS if c in out.columns]
     return out.drop(*drop), rep

@@ -314,3 +314,55 @@ def test_multimodal_strict_decoder_raises(spark):
     out = MM.extract_features(media, decoder=MM.strict_decoder)
     with pytest.raises(Exception, match="NotImplementedError|media decoding"):
         out.collect()
+
+
+def test_png_metadata_jvm_parse(spark):
+    rows = [
+        ("p1", MM.synthetic_png(640, 480)),
+        ("p2", MM.synthetic_png(31337, 1, bit_depth=16, color_type=2)),
+        ("junk", b"\x89PNGnope not a real signature tail padding"),
+        ("short", b"\x89P"),
+        ("wav", MM.synthetic_wav(2, 44100)),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    got = {r["media_id"]: r for r in MM.png_metadata(df).collect()}
+    assert got["p1"]["png_ok"] and (got["p1"]["png_width"], got["p1"]["png_height"]) == (640, 480)
+    assert got["p2"]["png_ok"] and got["p2"]["png_width"] == 31337
+    assert got["p2"]["png_bit_depth"] == 16 and got["p2"]["png_color_type"] == 2
+    for bad in ("junk", "short", "wav"):
+        assert not got[bad]["png_ok"] and got[bad]["png_width"] is None
+
+
+def test_wav_metadata_jvm_parse(spark):
+    rows = [
+        ("w1", MM.synthetic_wav(2, 44100, bits_per_sample=16)),
+        ("w2", MM.synthetic_wav(1, 16000, bits_per_sample=24)),
+        ("png", MM.synthetic_png(8, 8)),
+        ("junk", b"RIFFxxxxWAVEnot-fmt"),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    got = {r["media_id"]: r for r in MM.wav_metadata(df).collect()}
+    assert got["w1"]["wav_ok"]
+    assert (got["w1"]["wav_channels"], got["w1"]["wav_sample_rate"],
+            got["w1"]["wav_bits_per_sample"]) == (2, 44100, 16)
+    assert (got["w2"]["wav_channels"], got["w2"]["wav_sample_rate"],
+            got["w2"]["wav_bits_per_sample"]) == (1, 16000, 24)
+    assert not got["png"]["wav_ok"] and not got["junk"]["wav_ok"]
+
+
+def test_png_header_decoder_in_feature_path(spark):
+    """The real bytes-level decoder plugged into the mapInPandas path:
+    features carry the parsed dimensions; non-PNG payloads raise."""
+    rows = [("a", MM.synthetic_png(128, 64)), ("b", MM.synthetic_png(1, 99999))]
+    df = spark.createDataFrame(rows, "media_id string, payload binary").select(
+        "media_id", F.lit("image").alias("kind"), "payload"
+    )
+    feats = {r["media_id"]: r["features"]
+             for r in MM.extract_features(df, decoder=MM.png_header_decoder).collect()}
+    assert feats["a"][:4] == [128.0, 64.0, 8.0, 6.0]
+    assert feats["b"][:2] == [1.0, 99999.0]
+    bad = spark.createDataFrame(
+        [("x", b"not a png")], "media_id string, payload binary"
+    ).select("media_id", F.lit("image").alias("kind"), "payload")
+    with pytest.raises(Exception, match="not a PNG|ValueError"):
+        MM.extract_features(bad, decoder=MM.png_header_decoder).collect()

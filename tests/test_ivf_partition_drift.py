@@ -32,6 +32,33 @@ def test_ivf_topk_recall(spark):
     assert f == e
 
 
+def test_centroid_sample_is_unbiased_across_strata(spark):
+    """A per-source-partitioned corpus: two well-separated vector
+    strata, each in its own partition(s). A first-partitions .limit()
+    sample would train the quantizer on ONE stratum; the hash-ordered
+    sample must see both — detectable because k-means then places
+    centroids near both strata."""
+    import numpy as np
+
+    n = 400
+    jit = (F.col("id") % 97).cast("double") / 1000.0  # distinct per row
+    a = spark.range(n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*([F.lit(1.0)] + [F.lit(0.0)] * 6 + [jit])).alias("embedding"),
+    )
+    b = spark.range(n, 2 * n).select(
+        F.col("id").alias("vec_id"),
+        F.array(*([jit] + [F.lit(0.0)] * 6 + [F.lit(-1.0)])).alias("embedding"),
+    )
+    # repartition(1) each → stratum A occupies the first partition(s),
+    # exactly the layout that biased the old .limit() draw
+    df = a.repartition(1).union(b.repartition(1))
+    cent = IVF.train_centroids(df, k=2, sample=n, iters=6, seed=3)
+    has_a = any(c[0] > 0.9 for c in cent)
+    has_b = any(c[7] < -0.9 for c in cent)
+    assert has_a and has_b, cent
+
+
 def test_assignment_balances_and_is_deterministic(spark):
     emb = spark.read.parquet(EMB).withColumn(
         "embedding", F.col("embedding").cast("array<double>")

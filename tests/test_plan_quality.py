@@ -104,3 +104,29 @@ def test_minhash_signature_no_shuffle(spark):
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     sigs = minhash_signature(docs, num_hashes=16)
     assert "Exchange" not in plan_of(sigs)
+
+
+def test_clean_corpus_audit_is_one_job(spark):
+    """The cleaning report must come from ONE aggregation pass (stage
+    flags + single agg), not one full-lineage count per stage — at
+    100 TB each extra count is a corpus scan."""
+    from medea_ps_spark.operators.pipeline import clean_corpus
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sc = spark.sparkContext
+    group = "clean-corpus-audit-gate"
+    # AQE legitimately splits one action into per-shuffle-stage jobs;
+    # disable it so job count == action count (what the gate is about:
+    # no per-stage lineage re-execution)
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.setJobGroup(group, "audit job count")
+    try:
+        _, rep = clean_corpus(docs, near_dup=False, allowed_langs=["en"],
+                              lang_col="lang")
+        jobs = sc.statusTracker().getJobIdsForGroup(group)
+        assert len(jobs) == 1, f"audit ran {len(jobs)} jobs: {jobs}"
+    finally:
+        sc.setJobGroup("", "")
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert rep.input_rows > 0
+    assert rep.after_language <= rep.after_quality <= rep.after_exact_dedup

@@ -91,6 +91,54 @@ def test_stateful_streaming_dedup(spark, tmp_path):
     assert rows == [("a", 1), ("a", 1), ("b", 1)]
 
 
+def test_stateful_dedup_state_is_compact_binary(spark):
+    """Direct unit test of the state transition: n unique ids must pack
+    to exactly 8n state bytes (sorted uint64 hashes), duplicates across
+    calls must flag, and the cap must bound state size."""
+    import pandas as pd
+    import numpy as np
+
+    from medea_ps_spark.streaming.stateful_dedup import make_update
+
+    class StubState:
+        def __init__(self):
+            self.value = None
+            self.hasTimedOut = False
+
+        @property
+        def exists(self):
+            return self.value is not None
+
+        @property
+        def get(self):
+            return self.value
+
+        def update(self, v):
+            self.value = v
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+        def remove(self):
+            self.value = None
+
+    update = make_update("doc_id", max_ids_per_bucket=100)
+    st = StubState()
+    ids1 = [f"id-{i}" for i in range(50)] + ["id-3"]  # one within-batch dup
+    out1 = list(update((0,), iter([pd.DataFrame({"doc_id": ids1})]), st))
+    assert sum(len(o) for o in out1) == 1 and out1[0]["doc_id"].iloc[0] == "id-3"
+    assert len(st.value[0]) == 8 * 50  # exactly 8 bytes per unique id
+    arr = np.frombuffer(st.value[0], dtype=np.uint64)
+    assert (np.diff(arr.astype(np.float64)) > 0).all()  # sorted, unique
+
+    # cross-call duplicates flag; state stays capped at 100 ids
+    ids2 = [f"id-{i}" for i in range(40, 160)]
+    out2 = list(update((0,), iter([pd.DataFrame({"doc_id": ids2})]), st))
+    flagged = set(pd.concat(out2)["doc_id"])
+    assert flagged == {f"id-{i}" for i in range(40, 50)}
+    assert len(st.value[0]) <= 8 * 100
+
+
 def test_windowed_violation_counts_streaming(spark, stream_input, tmp_path):
     path, schema = stream_input
     compiled = _compiled(schema)
