@@ -3,14 +3,21 @@
 
 Headline metric: validated sequences/sec on the BASELINE.json-shaped
 tokenized-sequence table (full constraint set: verdicts + violation
-rows + uniqueness + referential), measured at two parallelism levels
-(local[N/4] and local[N]) to evidence the north rule's two-cluster-size
-scaling criterion; plus per-query wall times for the operator families
-at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1).
+rows + uniqueness + referential). The north rule's two-cluster-size
+scaling criterion (efficiency >= 0.8 between N and 4N) is evidenced on
+TWO N->4N pairs, each sized so compute dominates fixed driver/stage
+overhead (~0.5-1.1 s/job on this host):
+  * 2 -> 8 cores at SEQ_ROWS (1.5M) — ~20s/5s jobs;
+  * 8 -> 32 cores at 4x SEQ_ROWS (6M) — ~24s/6s jobs (at 1.5M the
+    32-core job is ~2.5s and overhead-bound; 4x input exits that
+    regime, per VERDICT r1 item 4).
+The headline throughput is the 32-core run on the 4x input. Plus
+per-query wall times for the operator families at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1).
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
-MEDEA_BENCH_SEQ_ROWS (default 300000), MEDEA_BENCH_SCALING=0 to skip the
-small-parallelism run.
+MEDEA_BENCH_SEQ_ROWS (default 1500000), MEDEA_BENCH_SCALING=0 to skip
+the scaling pairs.
 """
 
 from __future__ import annotations
@@ -25,12 +32,20 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+# driver heap must be fixed BEFORE the first JVM launch in this process;
+# 8g (the library default) GC-throttles 32 concurrent tasks on the 6M-row
+# input and poisons the 8->32 scaling pair. The box has 128 GiB.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
 SEQ_ROWS = int(os.environ.get("MEDEA_BENCH_SEQ_ROWS", "1500000"))
+SEQ_ROWS_BIG = SEQ_ROWS * 4
 RUN_SCALING = os.environ.get("MEDEA_BENCH_SCALING", "1") != "0"
 SEQ_MAX_LEN = 2048  # bench sequence-length cap (mean ~512 tokens/row)
-# cache path is row-count-specific so a row-count change can't reuse
-# a stale input
-SEQ_PATH = f"/tmp/medea_bench_sequences_{SEQ_ROWS}"
+
+
+def _seq_path(n_rows: int) -> str:
+    # cache path is row-count-specific so a row-count change can't
+    # reuse a stale input
+    return f"/tmp/medea_bench_sequences_{n_rows}"
 
 
 def _session(cores: int):
@@ -44,17 +59,18 @@ def _session(cores: int):
     )
 
 
-def _materialize_input(spark):
+def _materialize_input(spark, n_rows: int):
     """Input parquet (not timed): BASELINE-shaped sequences, partitioned
     by source like the Iceberg layout."""
     from medea_ps_spark.sources import synthetic
 
-    if not os.path.exists(os.path.join(SEQ_PATH, "_SUCCESS")):
-        shutil.rmtree(SEQ_PATH, ignore_errors=True)
+    path = _seq_path(n_rows)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        shutil.rmtree(path, ignore_errors=True)
         df = synthetic.sequences(
-            spark, SEQ_ROWS, seed=42, max_len=SEQ_MAX_LEN, num_partitions=CPUS * 2
+            spark, n_rows, seed=42, max_len=SEQ_MAX_LEN, num_partitions=CPUS * 2
         )
-        df.write.mode("overwrite").partitionBy("source").parquet(SEQ_PATH)
+        df.write.mode("overwrite").partitionBy("source").parquet(path)
 
 
 def _seq_registry():
@@ -84,7 +100,7 @@ def _seq_registry():
     return reg
 
 
-def _row_validate_job(spark) -> dict:
+def _row_validate_job(spark, n_rows: int = SEQ_ROWS) -> dict:
     """The SCALING job: the row-validation hot path exactly as it runs
     at 10^12 scale — one scan, one projection (verdict + violation
     structs incl. observed values, forced via crc32(to_json)), one tiny
@@ -93,7 +109,7 @@ def _row_validate_job(spark) -> dict:
     from pyspark.sql import functions as F
     from medea_ps_spark.operators import validator as V
 
-    df = spark.read.parquet(SEQ_PATH)
+    df = spark.read.parquet(_seq_path(n_rows))
     compiled = _seq_registry().compile(df.schema)
     validated = V.validate(df, compiled)
     verd = validated.groupBy("source").agg(
@@ -110,15 +126,15 @@ def _row_validate_job(spark) -> dict:
     }
 
 
-def _validate_job(spark) -> dict:
+def _validate_job(spark, n_rows: int = SEQ_ROWS) -> dict:
     """The FULL job (timed once at CPUS): row pass + uniqueness +
     referential, pruned-column scans for the table-level checks."""
     from medea_ps_spark.operators import validator as V
     from medea_ps_spark.plans.constraints import ReferentialIn, Unique
 
-    df = spark.read.parquet(SEQ_PATH)
+    df = spark.read.parquet(_seq_path(n_rows))
     compiled = _seq_registry().compile(df.schema)
-    info = _row_validate_job(spark)
+    info = _row_validate_job(spark, n_rows)
     n_viol = info["violations"]
     for c in compiled.table_constraints:
         if isinstance(c, Unique):
@@ -135,6 +151,41 @@ def timed(fn, *args):
     return time.time() - t0, out
 
 
+def _probe_work(_):
+    """Module-level so multiprocessing can pickle it."""
+    import hashlib
+
+    h = b"x" * 64
+    for _ in range(3_000_000):
+        h = hashlib.sha256(h).digest()
+    return 1
+
+
+def _host_cpu_probe(reps: int = 2) -> dict:
+    """Pure-CPU 8-vs-32-process probe (sha256 loops, no Spark, no shared
+    heap): measures what THIS HOST gives for an 8->32 scale-up in the
+    same noise window as the Spark runs. The sandbox's 32 vcores are
+    VM-oversubscribed — measured ceiling fluctuates ~0.67-0.96 — so the
+    raw Spark efficiency is reported alongside this ceiling and a
+    normalized ratio. On a real cluster (the north rule's N vs 4N
+    executors) the ceiling is ~1.0 and raw efficiency is the number."""
+    import multiprocessing as mp
+
+    times = {8: [], 32: []}
+    for _ in range(reps):
+        for n in (8, 32):
+            t0 = time.time()
+            with mp.Pool(n) as p:
+                p.map(_probe_work, range(64))
+            times[n].append(time.time() - t0)
+    eff = (min(times[8]) / min(times[32])) / 4.0
+    return {
+        "host_probe_8p_sec": round(min(times[8]), 2),
+        "host_probe_32p_sec": round(min(times[32]), 2),
+        "host_probe_eff_8_to_32": round(eff, 3),
+    }
+
+
 def bench_queries(spark) -> dict:
     import __spark_entry__ as em
 
@@ -147,10 +198,14 @@ def bench_queries(spark) -> dict:
     qs = em.queries()
     out = {}
     for name in picks:
-        t0 = time.time()
-        n = qs[name](spark, SF_DIR).count()
-        out[name] = round(time.time() - t0, 3)
-        _ = n
+        best = None
+        for _ in range(2):  # min-of-2: one host-noise burst can't own a number
+            t0 = time.time()
+            n = qs[name](spark, SF_DIR).count()
+            t = time.time() - t0
+            best = t if best is None else min(best, t)
+            _ = n
+        out[name] = round(best, 3)
     return out
 
 
@@ -158,52 +213,68 @@ def main():
     results = {}
     scaling = {}
     reps = int(os.environ.get("MEDEA_BENCH_REPS", "2"))
+    small = max(2, CPUS // 4)
+
+    # generate both inputs once, at full parallelism (untimed)
+    spark = _session(CPUS)
+    _materialize_input(spark, SEQ_ROWS)
+    if RUN_SCALING:
+        _materialize_input(spark, SEQ_ROWS_BIG)
+    spark.stop()
 
     # -- scaling evidence (north rule: throughput at N and 4N executors,
-    # efficiency >= 0.8). Two N->4N pairs are measured: 2->8 cores
-    # (compute-dominated; 24 idle cores buffer host noise) and 8->32
-    # (uses the whole box but, at sandbox input sizes, includes ~1s of
-    # fixed driver/stage overhead that a 10^12-row cluster run
-    # amortizes away). The host is noisy (±40% on a pure-CPU probe), so
-    # each level warms once then takes the MIN of `reps` timed runs.
+    # efficiency >= 0.8), two N->4N pairs, each input-sized so compute
+    # dominates the ~0.5-1.1s fixed driver/stage overhead:
+    #   pair A: 2 -> 8 cores at SEQ_ROWS;
+    #   pair B: 8 -> 32 cores at 4x SEQ_ROWS (the headline run).
+    # The host is noisy (±40% on a pure-CPU probe), so each level warms
+    # once per fresh JVM then takes the MIN of `reps` timed runs,
+    # INTERLEAVED so a noise burst hits all levels roughly equally
+    # instead of poisoning one level's whole sample.
     info = None
-    levels = [2, max(2, CPUS // 4), CPUS] if RUN_SCALING else [CPUS]
-    levels = sorted(set(levels))
-    times = {c: [] for c in levels}
-    # INTERLEAVED reps (fresh JVM each) so a noise burst hits all levels
-    # roughly equally instead of poisoning one level's whole sample
+    runs = (
+        [(2, SEQ_ROWS), (small, SEQ_ROWS), (small, SEQ_ROWS_BIG), (CPUS, SEQ_ROWS_BIG)]
+        if RUN_SCALING
+        else [(CPUS, SEQ_ROWS)]
+    )
+    times = {r: [] for r in runs}
     for _ in range(reps):
-        for cores in levels:
+        for cores, rows in runs:
             spark = _session(cores)
-            _materialize_input(spark)
-            _row_validate_job(spark)  # warm JIT/codegen, untimed
-            t, info = timed(_row_validate_job, spark)
-            times[cores].append(t)
+            _row_validate_job(spark, rows)  # warm JIT/codegen, untimed
+            t, info = timed(_row_validate_job, spark, rows)
+            times[(cores, rows)].append(t)
             spark.stop()
-    t_big = min(times[CPUS])
-    rows_per_sec = SEQ_ROWS / t_big
+    head_rows = SEQ_ROWS_BIG if RUN_SCALING else SEQ_ROWS
+    t_big = min(times[(CPUS, head_rows)])
+    rows_per_sec = head_rows / t_big
     results["seq_validate_rows"] = round(t_big, 3)
     if RUN_SCALING:
-        for cores in levels:
-            scaling[f"local{cores}_sec"] = round(min(times[cores]), 3)
-            scaling[f"local{cores}_rows_per_sec"] = round(
-                SEQ_ROWS / min(times[cores]), 1
-            )
-            scaling[f"local{cores}_all_sec"] = [round(x, 2) for x in times[cores]]
-        small = max(2, CPUS // 4)
+        for (cores, rows), ts in times.items():
+            tag = f"local{cores}_{rows // 1_000_000}m" if rows != SEQ_ROWS else f"local{cores}"
+            scaling[f"{tag}_sec"] = round(min(ts), 3)
+            scaling[f"{tag}_rows_per_sec"] = round(rows / min(ts), 1)
+            scaling[f"{tag}_all_sec"] = [round(x, 2) for x in ts]
         scaling["efficiency_2_to_8"] = round(
-            (min(times[2]) / min(times[small])) / (small / 2), 3
-        ) if 2 in times and small != 2 else None
-        scaling[f"efficiency_{small}_to_{CPUS}"] = round(
-            (min(times[small]) / t_big) / (CPUS / small), 3
+            (min(times[(2, SEQ_ROWS)]) / min(times[(small, SEQ_ROWS)]))
+            / (small / 2), 3
         )
-        scaling["efficiency"] = scaling.get("efficiency_2_to_8") or scaling[
-            f"efficiency_{small}_to_{CPUS}"
-        ]
+        scaling[f"efficiency_{small}_to_{CPUS}"] = round(
+            (min(times[(small, SEQ_ROWS_BIG)]) / t_big) / (CPUS / small), 3
+        )
+        # host ceiling measured in the same noise window (see docstring)
+        scaling.update(_host_cpu_probe(reps))
+        raw = scaling[f"efficiency_{small}_to_{CPUS}"]
+        ceil = scaling["host_probe_eff_8_to_32"]
+        scaling[f"efficiency_{small}_to_{CPUS}_normalized"] = round(
+            min(raw / ceil, 1.0), 3
+        ) if ceil > 0 else None
+        scaling["efficiency"] = scaling["efficiency_2_to_8"]
         scaling["reps"] = reps
+        scaling["pair_b_rows"] = SEQ_ROWS_BIG
 
     spark = _session(CPUS)
-    t_full, info = timed(_validate_job, spark)
+    t_full, info = timed(_validate_job, spark, head_rows)
     results["seq_validate_full"] = round(t_full, 3)
     results.update(bench_queries(spark))
     spark.stop()
@@ -216,7 +287,7 @@ def main():
                 "unit": "sec",
                 "queries": results,
                 "sf": SF_DIR,
-                "seq_rows": SEQ_ROWS,
+                "seq_rows": head_rows,
                 "violations": info["violations"],
                 "scaling": scaling,
             }
