@@ -313,15 +313,20 @@ def q_dedup_ngram_jaccard(spark, sf_dir):
 
 
 def q_dedup_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidates (xxhash64-seeded — no SQL oracle;
-    rows-only check). Verified against exact Jaccard in unit tests.
-    Band/row choice tuned for the synthetic corpus's tiny word
-    vocabulary (high baseline shingle overlap): 8 bands × 4 rows puts
-    the s-curve threshold at ~(1/8)^(1/4) ≈ 0.6, keeping the candidate
-    set bucket-local instead of quadratic."""
+    """MinHash+LSH end to end WITH a full SQL oracle: hash_fn="md5"
+    makes signature lanes + band buckets bit-identical in DuckDB (min
+    over fixed-width hex == numeric min), so the driver verifies the
+    whole shingle→minhash→band→bucket-join→exact-Jaccard pipeline, not
+    just row counts. The xxhash64 default stays the scale path (unit-
+    tested); 8 bands × 4 rows puts the s-curve threshold at ~0.6 for
+    the tiny-vocab synthetic corpus."""
     df = _docs(spark, sf_dir).where(F.col("doc_id") < 400)
-    return DD.minhash_near_duplicates(
-        df, num_hashes=32, bands=8, threshold=0.35, shingle_k=3
+    pairs = DD.minhash_near_duplicates(
+        df, num_hashes=32, bands=8, threshold=0.35, shingle_k=3,
+        hash_fn="md5",
+    )
+    return pairs.select(
+        "id_a", "id_b", F.round(F.col("jaccard"), 6).alias("jaccard")
     )
 
 
@@ -583,6 +588,10 @@ def q_events_activity(spark, sf_dir):
 SEQ_FIXTURE = "/root/repo/tests/fixtures/sequences_small.parquet"
 SEQ_FIXTURE_MAX_LEN = 128
 
+from medea_ps_spark.sources.synthetic import ALLOWED_SOURCES as _SEQ_SOURCES
+
+_SEQ_SRC_LIST = ",".join(f"'{s}'" for s in _SEQ_SOURCES)
+
 
 def q_seq_validation(spark, sf_dir):
     """The BASELINE.json hot path — per-source pass/fail verdicts over
@@ -641,6 +650,64 @@ def q_quantiles_tdigest(spark, sf_dir):
     )
 
 
+def q_seq_unique_violations(spark, sf_dir):
+    """Table-level uniqueness over the sequence fixture (seeded ~0.1%
+    duplicate doc_ids): groupBy dup-key extraction + broadcast-back."""
+    from medea_ps_spark.plans.constraints import Unique
+
+    df = spark.read.parquet(SEQ_FIXTURE)
+    out = V.unique_violations(df, Unique("doc_id_unique", "doc_id"), "doc_id")
+    return out.select("doc_id", "observed")
+
+
+def q_seq_referential_violations(spark, sf_dir):
+    """Referential check of the fixture's source column against the
+    allowed-sources dimension (broadcast anti-join; seeded ~0.1%
+    unknown-source rows)."""
+    from medea_ps_spark.plans.constraints import ReferentialIn
+    from medea_ps_spark.sources import synthetic
+
+    df = spark.read.parquet(SEQ_FIXTURE)
+    c = ReferentialIn("source_known", "source",
+                      dim_values=synthetic.ALLOWED_SOURCES)
+    return V.referential_violations(df, c, "doc_id").select(
+        "doc_id", "observed"
+    )
+
+
+def q_dedup_cluster_canon(spark, sf_dir):
+    """Near-dup clustering, driver-visible: exact n-gram Jaccard pairs →
+    connected components (iterative min-label propagation + pointer
+    doubling) → (node, component). Oracle: DuckDB recursive-CTE
+    transitive closure over the SAME pair graph."""
+    from medea_ps_spark.operators.dedup_cluster import connected_components
+
+    df = _docs(spark, sf_dir).where(F.col("doc_id") < 200)
+    pairs = DD.ngram_jaccard_pairs(df, "text", "doc_id", shingle_k=3,
+                                   threshold=0.03)
+    return connected_components(pairs).select("node", "component")
+
+
+def q_stats_bounds(spark, sf_dir):
+    """StatsBound partition verdicts: every bound evaluated in ONE
+    grouped aggregate pass, exploded to (source, constraint, observed,
+    passed) rows."""
+    from medea_ps_spark.operators.stats import stats_bound_verdicts
+    from medea_ps_spark.plans.constraints import StatsBound
+
+    bounds = [
+        StatsBound("n_chars_min_ok", "n_chars", agg="min", lo=1),
+        StatsBound("n_chars_avg_band", "n_chars", agg="avg", lo=100, hi=250),
+        StatsBound("doc_id_null_rate", "doc_id", agg="null_rate", hi=0.0),
+    ]
+    df = _docs(spark, sf_dir)
+    out = stats_bound_verdicts(df, bounds, partition_col="source")
+    return out.select(
+        "source", "constraint_id",
+        F.round(F.col("observed"), 6).alias("observed"), "passed",
+    )
+
+
 def q_referential_salted(spark, sf_dir):
     """The SKEW path of the referential check: salted shuffle anti-join
     (shuffle_hash hint, dim exploded ×salt) — must emit exactly the same
@@ -695,6 +762,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_activity": q_events_activity,
         "seq_validation": q_seq_validation,
         "seq_token_histogram": q_seq_token_histogram,
+        "seq_unique_violations": q_seq_unique_violations,
+        "seq_referential_violations": q_seq_referential_violations,
+        "dedup_cluster_canon": q_dedup_cluster_canon,
+        "stats_bounds": q_stats_bounds,
         "quantiles_tdigest": q_quantiles_tdigest,
         "referential_salted": q_referential_salted,
     }
@@ -759,6 +830,36 @@ _SHINGLES = (
     "list_transform(generate_series(1, greatest(len(_toks)-2, 0)), "
     "i -> concat_ws(' ', _toks[i], _toks[i+1], _toks[i+2]))"
 )
+
+
+def _ngram_pairs_sql(id_cap: int, threshold: float) -> str:
+    """Exact 3-gram Jaccard pair graph over documents with doc_id <
+    ``id_cap`` at jaccard >= ``threshold`` — the inverted-index
+    construction mirrored in SQL (columns id_a, id_b, jaccard)."""
+    return f"""
+            WITH d AS (
+              SELECT doc_id, list_distinct({_SHINGLES}) AS sh FROM (
+                SELECT doc_id, string_split(trim({_NORM}), ' ') AS _toks
+                FROM documents WHERE doc_id < {id_cap}
+              ) WHERE len(_toks) >= 3
+            ),
+            sz AS (SELECT doc_id, len(sh) AS n_sh FROM d WHERE len(sh) > 0),
+            inv AS (SELECT doc_id, unnest(sh) AS shingle FROM d),
+            com AS (
+              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+              FROM inv a JOIN inv b
+                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+              GROUP BY 1, 2
+            )
+            SELECT id_a, id_b,
+                   CAST(n_common AS DOUBLE)
+                     / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+            FROM com
+            JOIN sz sa ON sa.doc_id = id_a
+            JOIN sz sb ON sb.doc_id = id_b
+            WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)
+                  >= {threshold}
+    """
 
 _DOT = "list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])"
 _NRM = lambda s: f"sqrt(list_dot_product({s}.embedding::DOUBLE[], {s}.embedding::DOUBLE[]))"
@@ -884,27 +985,84 @@ def oracle_sql() -> dict[str, str]:
             FROM g
         """,
         "dedup_ngram_jaccard": f"""
+            SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+            FROM ({_ngram_pairs_sql(120, 0.12)})
+        """,
+        "dedup_minhash_lsh": f"""
             WITH d AS (
-              SELECT doc_id, list_distinct({_SHINGLES}) AS sh FROM (
+              SELECT doc_id, {_SHINGLES} AS sh FROM (
                 SELECT doc_id, string_split(trim({_NORM}), ' ') AS _toks
-                FROM documents WHERE doc_id < 120
+                FROM documents WHERE doc_id < 400
               ) WHERE len(_toks) >= 3
             ),
-            sz AS (SELECT doc_id, len(sh) AS n_sh FROM d WHERE len(sh) > 0),
-            inv AS (SELECT doc_id, unnest(sh) AS shingle FROM d),
-            com AS (
-              SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
-              FROM inv a JOIN inv b
-                ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-              GROUP BY 1, 2
+            d2 AS (SELECT doc_id, sh, list_distinct(sh) AS shd
+                   FROM d WHERE len(sh) > 0),
+            sigs AS (
+              SELECT doc_id,
+                     list_transform(generate_series(0, 31), i ->
+                       list_min(list_transform(sh, s ->
+                         md5(concat('42:', CAST(i AS VARCHAR), '|', s))))) AS sig
+              FROM d2
+            ),
+            buckets AS (
+              SELECT doc_id, band,
+                     md5(array_to_string(sig[band*4+1 : band*4+4], '|'))
+                       AS bucket
+              FROM sigs,
+                   (SELECT unnest(generate_series(0, 7)) AS band)
+            ),
+            cand AS (
+              SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+              FROM buckets a JOIN buckets b
+                ON a.band = b.band AND a.bucket = b.bucket
+               AND a.doc_id < b.doc_id
+            ),
+            j AS (
+              SELECT id_a, id_b,
+                     CAST(len(list_intersect(sa.shd, sb.shd)) AS DOUBLE)
+                       / len(list_distinct(list_concat(sa.shd, sb.shd)))
+                       AS jaccard
+              FROM cand
+              JOIN d2 sa ON sa.doc_id = id_a
+              JOIN d2 sb ON sb.doc_id = id_b
             )
-            SELECT id_a, id_b,
-                   round(CAST(n_common AS DOUBLE)
-                         / (sa.n_sh + sb.n_sh - n_common), 6) AS jaccard
-            FROM com
-            JOIN sz sa ON sa.doc_id = id_a
-            JOIN sz sb ON sb.doc_id = id_b
-            WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.12
+            SELECT id_a, id_b, round(jaccard, 6) AS jaccard
+            FROM j WHERE jaccard >= 0.35
+        """,
+        "dedup_cluster_canon": f"""
+            WITH RECURSIVE pairs AS ({_ngram_pairs_sql(200, 0.03)}),
+            bidir AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION
+              SELECT id_b AS a, id_a AS b FROM pairs
+            ),
+            reach(a, b) AS (
+              SELECT a, b FROM bidir
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN bidir e ON r.b = e.a
+            )
+            SELECT a AS node, least(a, min(b)) AS component
+            FROM reach GROUP BY a
+        """,
+        "stats_bounds": """
+            WITH s AS (
+              SELECT source,
+                     min(n_chars) AS min_nc,
+                     avg(CAST(n_chars AS DOUBLE)) AS avg_nc,
+                     avg(CASE WHEN doc_id IS NULL THEN 1.0 ELSE 0.0 END)
+                       AS nullrate
+              FROM documents GROUP BY source
+            )
+            SELECT source, 'n_chars_min_ok' AS constraint_id,
+                   round(CAST(min_nc AS DOUBLE), 6) AS observed,
+                   (min_nc >= 1) AS passed
+            FROM s
+            UNION ALL
+            SELECT source, 'n_chars_avg_band', round(avg_nc, 6),
+                   (avg_nc >= 100 AND avg_nc <= 250) FROM s
+            UNION ALL
+            SELECT source, 'doc_id_null_rate', round(nullrate, 6),
+                   (nullrate <= 0.0) FROM s
         """,
         "ann_topk": f"""
             WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
@@ -1070,6 +1228,23 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT unnest(tokens) AS tok
                   FROM read_parquet('{SEQ_FIXTURE}'))
             GROUP BY 1
+        """,
+        "seq_unique_violations": f"""
+            SELECT d.doc_id,
+                   concat(CAST(d.doc_id AS VARCHAR), ' (count=',
+                          CAST(g.cnt AS VARCHAR), ')') AS observed
+            FROM read_parquet('{SEQ_FIXTURE}') d
+            JOIN (SELECT doc_id, count(*) AS cnt
+                  FROM read_parquet('{SEQ_FIXTURE}')
+                  WHERE doc_id IS NOT NULL
+                  GROUP BY doc_id HAVING count(*) > 1) g
+              ON d.doc_id = g.doc_id
+        """,
+        "seq_referential_violations": f"""
+            SELECT doc_id,
+                   coalesce(CAST(source AS VARCHAR), 'null') AS observed
+            FROM read_parquet('{SEQ_FIXTURE}')
+            WHERE source NOT IN ({_SEQ_SRC_LIST}) OR source IS NULL
         """,
         "quantiles_tdigest": """
             WITH q AS (

@@ -70,6 +70,24 @@ def dedup_exact(
 # -- minhash + LSH ----------------------------------------------------------------
 
 
+def _minhash_term(i: int, seed: int, hash_fn: str):
+    """One min-hash lane. A factory (not a default-arg lambda) because
+    pyspark treats ANY two-parameter lambda — including default args —
+    as an (element, index) HOF.
+
+    hash_fn:
+      * "xxhash64" (default) — fastest, JVM bigint lanes; NOT
+        reproducible outside Spark.
+      * "md5" — 32-char hex lanes; min over fixed-width hex strings ==
+        numeric min, and md5 is bit-identical in DuckDB/Python, which
+        makes the WHOLE LSH pipeline oracle-checkable end to end.
+    """
+    if hash_fn == "md5":
+        prefix = f"{seed}:{i}|"
+        return lambda s: F.md5(F.encode(F.concat(F.lit(prefix), s), "utf-8"))
+    return lambda s: F.xxhash64(F.lit(seed), F.lit(i), s)
+
+
 def minhash_signature(
     df: DataFrame,
     text_col: str = "text",
@@ -77,19 +95,15 @@ def minhash_signature(
     num_hashes: int = 32,
     shingle_k: int = 3,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """(id, sig: array<bigint>) — sig[i] = min over shingles of
-    xxhash64(seed, i, shingle). Entirely JVM-side: transform + array_min
+    """(id, sig: array<bigint|string>) — sig[i] = min over shingles of
+    hash(seed, i, shingle). Entirely JVM-side: transform + array_min
     over the shingle array, one pass, no shuffle."""
     sh = word_shingles(F.col(text_col), k=shingle_k).alias("_sh")
     sig = F.array(
         *[
-            F.array_min(
-                F.transform(
-                    F.col("_sh"),
-                    lambda s: F.xxhash64(F.lit(seed), F.lit(i), s),
-                )
-            )
+            F.array_min(F.transform(F.col("_sh"), _minhash_term(i, seed, hash_fn)))
             for i in range(num_hashes)
         ]
     )
@@ -124,10 +138,17 @@ def minhash_lsh_candidates(
     bands: int = 8,
     rows_per_band: int = 4,
     max_bucket_size: Optional[int] = None,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Candidate pairs (id_a < id_b) sharing ≥1 LSH band bucket.
     Shuffle = (band, bucket, id) triples; the join is bucket-local and,
     with ``max_bucket_size``, bounded at O(n · cap) candidates."""
+    def bucket_of(b: int):
+        sl = F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
+        if hash_fn == "md5":
+            return F.md5(F.encode(F.concat_ws("|", sl), "utf-8"))
+        return F.xxhash64(sl)
+
     buckets = sigs.select(
         F.col(id_col),
         F.explode(
@@ -135,9 +156,7 @@ def minhash_lsh_candidates(
                 *[
                     F.struct(
                         F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.slice(F.col("sig"), b * rows_per_band + 1, rows_per_band)
-                        ).alias("bucket"),
+                        bucket_of(b).alias("bucket"),
                     )
                     for b in range(bands)
                 ]
@@ -171,17 +190,22 @@ def minhash_near_duplicates(
     threshold: float = 0.7,
     seed: int = 42,
     max_bucket_size: Optional[int] = 1000,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Full pipeline: minhash → band buckets → candidates → verify with
     the exact shingle-set Jaccard (array_intersect/array_union — JVM).
     Returns (id_a, id_b, jaccard) with jaccard ≥ threshold.
 
     ``max_bucket_size`` (default 1000) caps every band bucket so a
-    degenerate bucket can't go quadratic; pass None to disable."""
+    degenerate bucket can't go quadratic; pass None to disable.
+    ``hash_fn="md5"`` makes the signature/banding reproducible in plain
+    SQL (DuckDB oracle) at ~2× the hashing cost — see _minhash_term."""
     rows_per_band = num_hashes // bands
-    sigs = minhash_signature(df, text_col, id_col, num_hashes, shingle_k, seed)
+    sigs = minhash_signature(
+        df, text_col, id_col, num_hashes, shingle_k, seed, hash_fn
+    )
     cand = minhash_lsh_candidates(
-        sigs, id_col, bands, rows_per_band, max_bucket_size
+        sigs, id_col, bands, rows_per_band, max_bucket_size, hash_fn
     )
     shing = df.select(
         F.col(id_col),

@@ -12,12 +12,11 @@ def test_oracle_keys_subset_of_queries():
     qs, os_ = em.queries(), em.oracle_sql()
     assert set(os_) <= set(qs)
     # exactly the hash/kmeans-seeded queries are rows-only — everything
-    # else must carry a DuckDB oracle
+    # else must carry a DuckDB oracle (minhash graduated to a full
+    # oracle via hash_fn="md5"; seq_validation via the committed
+    # fixture parquet)
     rows_only = set(qs) - set(os_)
-    assert rows_only == {
-        "dedup_minhash_lsh", "dedup_simhash", "ann_lsh", "ann_ivf",
-        "seq_validation",
-    }
+    assert rows_only == {"dedup_simhash", "ann_lsh", "ann_ivf"}
 
 
 def test_entry_runs(spark):
