@@ -106,6 +106,37 @@ def test_minhash_signature_no_shuffle(spark):
     assert "Exchange" not in plan_of(sigs)
 
 
+def test_seq_fixture_queries_join_strategies(spark):
+    """Hot-path table checks keep their scale-safe join shapes:
+    referential = broadcast anti-join (no fact shuffle), uniqueness =
+    hash-agg + broadcast-back (no sort-merge join anywhere)."""
+    ref = em.q_seq_referential_violations(spark, SF)
+    assert "BroadcastHashJoin" in plan_of(ref)
+    assert "SortMergeJoin" not in plan_of(ref)
+    uniq = em.q_seq_unique_violations(spark, SF)
+    assert "SortMergeJoin" not in plan_of(uniq)
+
+
+def test_ivf_list_layout_prunes_partitions(spark, tmp_path):
+    """The IVF scale path: corpus written partitioned by ivf_list means
+    a probe of n_probe lists scans ONLY those partitions — the filter
+    must land in the scan's PartitionFilters, not a post-scan Filter."""
+    import numpy as np
+    from medea_ps_spark.operators import ivf as IVF
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cent = IVF.train_centroids(emb, k=4, sample=500, iters=4, seed=5)
+    path = str(tmp_path / "ivf_corpus")
+    IVF.assign_lists(emb, cent).write.partitionBy("ivf_list").parquet(path)
+    spark.catalog.clearCache()
+    probed = spark.read.parquet(path).where(F.col("ivf_list").isin([0, 2]))
+    plan = plan_of(probed)
+    part_lines = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert part_lines and "ivf_list" in part_lines[0], plan
+
+
 def test_clean_corpus_audit_is_one_job(spark):
     """The cleaning report must come from ONE aggregation pass (stage
     flags + single agg), not one full-lineage count per stage — at
