@@ -396,6 +396,23 @@ def q_ann_ivf(spark, sf_dir):
     )
 
 
+def q_embedding_dedup_clusters(spark, sf_dir):
+    """Semantic-dedup composition: exact cosine near-dup pairs →
+    connected components → (node, component) canonical map. Oracle:
+    the same pair graph in SQL + a recursive-CTE transitive closure."""
+    from medea_ps_spark.operators.dedup_cluster import connected_components
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    pairs = SIM.cosine_near_duplicates(
+        emb.where(F.col("vec_id") < 200), threshold=0.25, exact=True
+    )
+    return connected_components(pairs.select("id_a", "id_b")).select(
+        "node", "component"
+    )
+
+
 def q_text_token_stats(spark, sf_dir):
     from medea_ps_spark.functions.text import token_count
 
@@ -748,6 +765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "embedding_near_dups": q_embedding_near_dups,
+        "embedding_dedup_clusters": q_embedding_dedup_clusters,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_en_markers": q_text_en_markers,
@@ -1089,6 +1107,27 @@ def oracle_sql() -> dict[str, str]:
             JOIN (SELECT * FROM embeddings WHERE vec_id < 200) b
               ON a.vec_id < b.vec_id
             WHERE {_COS} >= 0.25
+        """,
+        "embedding_dedup_clusters": f"""
+            WITH RECURSIVE pairs AS (
+              SELECT a.vec_id AS id_a, b.vec_id AS id_b
+              FROM (SELECT * FROM embeddings WHERE vec_id < 200) a
+              JOIN (SELECT * FROM embeddings WHERE vec_id < 200) b
+                ON a.vec_id < b.vec_id
+              WHERE {_COS} >= 0.25
+            ),
+            bidir AS (
+              SELECT id_a AS a, id_b AS b FROM pairs
+              UNION
+              SELECT id_b AS a, id_a AS b FROM pairs
+            ),
+            reach(a, b) AS (
+              SELECT a, b FROM bidir
+              UNION
+              SELECT r.a, e.b FROM reach r JOIN bidir e ON r.b = e.a
+            )
+            SELECT a AS node, least(a, min(b)) AS component
+            FROM reach GROUP BY a
         """,
         "text_token_stats": f"""
             SELECT lang, CAST(sum({_NTOK}) AS BIGINT) AS total_tokens,

@@ -48,6 +48,76 @@ def windowed_violation_counts(
     )
 
 
+def windowed_chi2_drift(
+    stream_df: DataFrame,
+    profile,
+    name: str,
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    alpha: float = 0.001,
+) -> DataFrame:
+    """Streaming drift monitor: per event-time window, the two-sample
+    χ² of the column's bucket distribution against a ReferenceProfile
+    (operators/drift.py), computed in ONE streaming aggregation — the
+    profile's expected counts are plan literals, the per-bucket observed
+    counts are sum((bucket==i)) aggregate lanes, and the statistic +
+    verdict are a post-agg projection. No second aggregation (streaming
+    allows only one), no state beyond the windowed agg, no UDF.
+
+    Differences from the batch chi2_drift: no sparse-bucket merging
+    (data-dependent shape per window can't be a static plan), so use
+    profiles with well-populated buckets; dof = nbuckets − 1. The
+    drift verdict compares the statistic against the χ² critical value
+    at ``alpha`` (computed driver-side by bisection on chi2_sf)."""
+    from ..functions.stats_math import chi2_sf
+    from ..operators.sketches import bucket_expr
+
+    p = profile.columns[name]
+    exp = [float(c) for c in p.counts]
+    n_e = sum(exp)
+    if n_e <= 0:
+        raise ValueError(f"profile {name!r} is empty")
+    b = bucket_expr(p.column, p.lo, p.hi, p.nbuckets)
+    aggs = [
+        F.sum((b == i).cast("bigint")).alias(f"_c{i}")
+        for i in range(p.nbuckets)
+    ]
+    agged = (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(F.window(F.col(ts_col), window).alias("window"))
+        .agg(*aggs)
+    )
+    n_o = sum(
+        (F.coalesce(F.col(f"_c{i}"), F.lit(0)) for i in range(p.nbuckets)),
+        F.lit(0).cast("bigint"),
+    ).cast("double")
+    k1 = F.sqrt(F.lit(n_e) / n_o)
+    k2 = F.sqrt(n_o / F.lit(n_e))
+    stat = F.lit(0.0)
+    for i in range(p.nbuckets):
+        o = F.coalesce(F.col(f"_c{i}"), F.lit(0)).cast("double")
+        e = F.lit(exp[i])
+        term = F.pow(k1 * o - k2 * e, F.lit(2.0)) / (o + e)
+        stat = stat + F.when(o + e > 0, term).otherwise(F.lit(0.0))
+    dof = max(1, p.nbuckets - 1)
+    # invert chi2_sf at alpha by bisection (driver-side, once)
+    lo_c, hi_c = 0.0, 1e6
+    for _ in range(200):
+        mid = (lo_c + hi_c) / 2.0
+        if chi2_sf(mid, dof) > alpha:
+            lo_c = mid
+        else:
+            hi_c = mid
+    critical = (lo_c + hi_c) / 2.0
+    return agged.select(
+        "window",
+        n_o.cast("bigint").alias("n_rows"),
+        F.round(stat, 4).alias("chi2_stat"),
+        (stat > F.lit(critical)).alias("drifted"),
+    )
+
+
 def run_foreach_batch(
     stream_df: DataFrame,
     compiled: CompiledSet,

@@ -91,6 +91,50 @@ def test_stateful_streaming_dedup(spark, tmp_path):
     assert rows == [("a", 1), ("a", 1), ("b", 1)]
 
 
+def test_windowed_chi2_drift_streaming(spark, tmp_path):
+    """Streaming drift monitor: a clean epoch streamed against its own
+    profile must not drift; a shifted epoch (n_tok doubled) must."""
+    import os
+
+    from medea_ps_spark.operators.drift import build_profile
+    from medea_ps_spark.streaming.validate_stream import windowed_chi2_drift
+
+    clean = synthetic.sequences(spark, 8_000, seed=21, clean=True)
+    profile = build_profile(
+        clean, {"n_tok": {"column": "n_tok", "lo": 0, "hi": 8192, "nbuckets": 16}}
+    )
+    ts = F.timestamp_seconds(
+        F.lit(1700000000) + F.pmod(F.xxhash64("doc_id"), F.lit(240))
+    )
+    same = synthetic.sequences(spark, 8_000, seed=22, clean=True).withColumn("ts", ts)
+    shifted = (
+        synthetic.sequences(spark, 8_000, seed=23, clean=True)
+        .withColumn("n_tok", (F.col("n_tok") * 2).cast("int"))
+        .withColumn("ts", ts)
+    )
+    results = {}
+    for tag, df in (("same", same), ("shifted", shifted)):
+        p = os.path.join(str(tmp_path), tag, "in")
+        df.write.mode("overwrite").parquet(p)
+        stream = spark.readStream.schema(df.schema).parquet(p)
+        out = windowed_chi2_drift(
+            stream, profile, "n_tok", ts_col="ts", window="5 minutes"
+        )
+        q = (
+            out.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(f"drift_{tag}")
+            .option("checkpointLocation", os.path.join(str(tmp_path), tag, "ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        results[tag] = spark.sql(f"select * from drift_{tag}").collect()
+    assert results["same"] and all(not r["drifted"] for r in results["same"])
+    assert results["shifted"] and all(r["drifted"] for r in results["shifted"])
+    assert sum(r["n_rows"] for r in results["same"]) == 8_000
+
+
 def test_stateful_dedup_state_is_compact_binary(spark):
     """Direct unit test of the state transition: n unique ids must pack
     to exactly 8n state bytes (sorted uint64 hashes), duplicates across
