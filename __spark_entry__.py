@@ -331,9 +331,14 @@ def q_dedup_minhash_lsh(spark, sf_dir):
 
 
 def q_dedup_simhash(spark, sf_dir):
-    """SimHash fingerprints + near-dup pairs (rows-only check)."""
+    """SimHash near-dup pairs WITH a full SQL oracle: hash_fn="md5"
+    gives 60-bit SQL-reproducible fingerprints, and max_hamming == the
+    banding guarantee (4) makes the output banding-independent
+    (pigeonhole: every pair within Hamming 4 shares a probe bucket), so
+    DuckDB verifies fingerprints AND the pair set with a plain
+    hamming-radius self-join. The xxhash64 default stays the scale path."""
     df = _docs(spark, sf_dir).where(F.col("doc_id") < 500)
-    return DD.simhash_near_duplicates(df, max_hamming=12)
+    return DD.simhash_near_duplicates(df, max_hamming=4, hash_fn="md5")
 
 
 def q_ann_topk(spark, sf_dir):
@@ -1046,6 +1051,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT id_a, id_b, round(jaccard, 6) AS jaccard
             FROM j WHERE jaccard >= 0.35
+        """,
+        "dedup_simhash": f"""
+            WITH toks AS (
+              SELECT doc_id, string_split(trim({_NORM}), ' ') AS tl
+              FROM documents WHERE doc_id < 500
+            ),
+            hh AS (
+              SELECT doc_id, len(tl) AS n,
+                     ('0x' || substr(md5(concat('42|', tok)), 1, 15))::BIGINT
+                       AS h
+              FROM (SELECT doc_id, tl, unnest(tl) AS tok FROM toks)
+            ),
+            bits AS (
+              SELECT doc_id, bs.b,
+                     CASE WHEN 2 * sum((h >> bs.b) & 1) > max(n)
+                          THEN (1::BIGINT << bs.b) ELSE 0 END AS bitval
+              FROM hh, (SELECT unnest(generate_series(0, 59)) AS b) bs
+              GROUP BY doc_id, bs.b
+            ),
+            sigs AS (
+              SELECT doc_id, CAST(sum(bitval) AS BIGINT) AS s
+              FROM bits GROUP BY doc_id
+            )
+            SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+                   CAST(bit_count(xor(a.s, b.s)) AS INT) AS hamming
+            FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.s, b.s)) <= 4
         """,
         "dedup_cluster_canon": f"""
             WITH RECURSIVE pairs AS ({_ngram_pairs_sql(200, 0.03)}),

@@ -226,23 +226,46 @@ def minhash_near_duplicates(
 # -- simhash -----------------------------------------------------------------------
 
 
+SIMHASH_MD5_BITS = 60  # 15 hex chars parse losslessly into a signed bigint
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     bits: int = 64,
     seed: int = 42,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
-    """(id, simhash: bigint). Per doc: hash each token to 64 bits; bit b
-    of the fingerprint is 1 iff more than half the tokens have bit b
-    set. Expressed as aggregate over a sequence of bit positions — all
-    codegen, no UDF."""
+    """(id, simhash: bigint). Per doc: hash each token to ``bits`` bits;
+    bit b of the fingerprint is 1 iff more than half the tokens have bit
+    b set. Expressed as aggregate over a sequence of bit positions — all
+    codegen, no UDF.
+
+    ``hash_fn="md5"`` hashes tokens with conv(md5[:15], 16, 10) — a
+    60-bit lane that DuckDB reproduces exactly (('0x'||hex)::BIGINT),
+    making the fingerprints SQL-oracle-checkable; bits is capped at 60."""
     toks = whitespace_tokens(normalize(F.col(text_col)))
-    # materialize token hashes once, then sum 64 per-bit majority votes
+    if hash_fn == "md5":
+        bits = min(bits, SIMHASH_MD5_BITS)
+        prefix = f"{seed}|"
+
+        def tok_hash(t):
+            return F.conv(
+                F.substring(
+                    F.md5(F.encode(F.concat(F.lit(prefix), t), "utf-8")), 1, 15
+                ),
+                16, 10,
+            ).cast("bigint")
+    else:
+        def tok_hash(t):
+            return F.xxhash64(F.lit(seed), t)
+
+    # materialize token hashes once, then sum per-bit majority votes
     # (bit positions are Python ints — static expression tree, codegen'd)
     hashed = df.select(
         F.col(id_col),
-        F.transform(toks, lambda t: F.xxhash64(F.lit(seed), t)).alias("_th"),
+        F.transform(toks, tok_hash).alias("_th"),
     )
     th = F.col("_th")
     n = F.size(th)
@@ -278,6 +301,7 @@ def simhash_near_duplicates(
     seed: int = 42,
     blocks: Optional[int] = None,
     max_bucket_size: Optional[int] = 1000,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Near-dups with Hamming(simhash) ≤ max_hamming, verified with
     bit_count(xor).
@@ -293,13 +317,18 @@ def simhash_near_duplicates(
     Defaults: m = g+3 → C(m, g) probes (g=3 → 20 probes of ~32 bits).
     For max_hamming > 4 the guarantee stays at 4 (recall above that is
     best-effort, as with any simhash banding). ``max_bucket_size`` drops
-    degenerate buckets before the join (see module docstring)."""
-    sigs = simhash(df, text_col, id_col, seed=seed)
+    degenerate buckets before the join (see module docstring).
+    ``hash_fn="md5"`` → 60-bit SQL-reproducible fingerprints; when
+    max_hamming ≤ the guarantee, the OUTPUT is banding-independent
+    (pigeonhole makes every qualifying pair a candidate), so it can be
+    oracle-checked as a plain hamming-radius self-join."""
+    nbits = SIMHASH_MD5_BITS if hash_fn == "md5" else 64
+    sigs = simhash(df, text_col, id_col, bits=nbits, seed=seed, hash_fn=hash_fn)
     g = min(max_hamming, 4)
     m = blocks if blocks is not None else g + 3
     if m <= g:
         raise ValueError(f"blocks ({m}) must exceed pigeonhole tolerance ({g})")
-    bounds = _block_bounds(64, m)
+    bounds = _block_bounds(nbits, m)
 
     def block_val(off: int, width: int):
         mask = (1 << width) - 1

@@ -11,12 +11,12 @@ import __spark_entry__ as em
 def test_oracle_keys_subset_of_queries():
     qs, os_ = em.queries(), em.oracle_sql()
     assert set(os_) <= set(qs)
-    # exactly the hash/kmeans-seeded queries are rows-only — everything
-    # else must carry a DuckDB oracle (minhash graduated to a full
-    # oracle via hash_fn="md5"; seq_validation via the committed
-    # fixture parquet)
+    # only the genuinely seed/model-dependent ANN approximations are
+    # rows-only — everything else carries a DuckDB oracle (minhash and
+    # simhash graduated via hash_fn="md5"; seq_validation via the
+    # committed fixture parquet)
     rows_only = set(qs) - set(os_)
-    assert rows_only == {"dedup_simhash", "ann_lsh", "ann_ivf"}
+    assert rows_only == {"ann_lsh", "ann_ivf"}
 
 
 def test_entry_runs(spark):
