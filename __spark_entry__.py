@@ -371,16 +371,22 @@ def q_embedding_near_dups(spark, sf_dir):
 
 
 def q_ann_lsh(spark, sf_dir):
-    """SRP-LSH ANN (seeded hyperplanes; rows-only — recall vs exact is
-    unit-tested)."""
+    """SRP-LSH ANN with a FULL SQL oracle: the hyperplanes are a pure
+    function of the seed, so the oracle embeds the same planes as
+    literals and DuckDB reproduces buckets, candidate join, and the
+    exact re-rank (see _ann_lsh_sql). Recall vs exact is unit-tested."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
     queries = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return SIM.lsh_topk(
+    topk = SIM.lsh_topk(
         emb.where(F.col("vec_id") >= 8), queries, k=3, n_planes=6, n_tables=6
+    )
+    return topk.select(
+        "query_id", "neighbor_id",
+        F.round(F.col("cosine_sim"), 4).alias("cosine_sim"), "rank",
     )
 
 
@@ -415,6 +421,32 @@ def q_embedding_dedup_clusters(spark, sf_dir):
     )
     return connected_components(pairs.select("id_a", "id_b")).select(
         "node", "component"
+    )
+
+
+def q_ann_ivf_fullprobe(spark, sf_dir):
+    """IVF with n_probe == n_lists: the coarse quantizer, list
+    assignment, probe explosion, and re-rank all execute, and the
+    output must equal exact brute-force top-k regardless of where
+    k-means put the centroids — which gives the IVF machinery a full
+    SQL oracle (the partial-probe recall path stays rows-only +
+    unit-tested)."""
+    from medea_ps_spark.operators import ivf as IVF
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    cent = IVF.train_centroids(emb, k=8, sample=2000, iters=8)
+    queries = emb.where(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    topk = IVF.ivf_topk(
+        emb.where(F.col("vec_id") >= 8), queries, cent, k=3,
+        n_probe=len(cent),
+    )
+    return topk.select(
+        "query_id", "neighbor_id",
+        F.round(F.col("cosine_sim"), 4).alias("cosine_sim"), "rank",
     )
 
 
@@ -769,6 +801,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
+        "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_dedup_clusters": q_embedding_dedup_clusters,
         "text_token_stats": q_text_token_stats,
@@ -907,6 +940,73 @@ _EN_HITS = (
     "len(list_filter(string_split(regexp_replace(trim(lower(text)), "
     f"'\\s+', ' ', 'g'), ' '), t -> list_contains({_EN_LIST}, t)))"
 )
+
+
+_ANN_EXACT_SQL = f"""
+    WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
+                WHERE vec_id < 8),
+         c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
+    scored AS (
+      SELECT a.query_id, b.vec_id AS neighbor_id, {_COS} AS sim
+      FROM (SELECT query_id, embedding FROM q) a(query_id, embedding),
+           c b
+    ),
+    ranked AS (
+      SELECT query_id, neighbor_id, sim,
+             row_number() OVER (PARTITION BY query_id
+                                ORDER BY sim DESC, neighbor_id ASC) AS rank
+      FROM scored
+    )
+    SELECT query_id, neighbor_id, round(sim, 4) AS cosine_sim, rank
+    FROM ranked WHERE rank <= 3
+"""
+
+
+def _ann_lsh_sql(n_planes: int = 6, n_tables: int = 6, dim: int = 64,
+                 seed: int = 42, k: int = 3) -> str:
+    """SQL twin of q_ann_lsh: the SRP hyperplanes are a pure function of
+    the seed (np.random.default_rng), so the SAME planes are embedded
+    here as full-precision literals — DuckDB reproduces the bucket
+    signatures, the any-table candidate join, and the exact re-rank."""
+    from medea_ps_spark.operators.similarity import _hyperplanes
+
+    def bucket_expr(side: str, t: int) -> str:
+        planes = _hyperplanes(dim, n_planes, seed + 1000 * t)
+        terms = []
+        for p in range(n_planes):
+            lit = "[" + ",".join(repr(float(x)) for x in planes[p]) + "]"
+            terms.append(
+                f"(CASE WHEN list_dot_product({side}.e, {lit}::DOUBLE[]) > 0 "
+                f"THEN {1 << p} ELSE 0 END)"
+            )
+        return " + ".join(terms)
+
+    c_buckets = ", ".join(f"{bucket_expr('c', t)} AS b{t}" for t in range(n_tables))
+    q_buckets = ", ".join(f"{bucket_expr('q', t)} AS b{t}" for t in range(n_tables))
+    any_match = " OR ".join(f"cb.b{t} = qb.b{t}" for t in range(n_tables))
+    return f"""
+        WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                   FROM embeddings WHERE vec_id >= 8),
+             q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS e
+                   FROM embeddings WHERE vec_id < 8),
+        cb AS (SELECT c.vec_id, c.e, {c_buckets} FROM c),
+        qb AS (SELECT q.query_id, q.e, {q_buckets} FROM q),
+        cand AS (
+          SELECT DISTINCT qb.query_id, cb.vec_id,
+                 list_dot_product(cb.e, qb.e)
+                   / (sqrt(list_dot_product(cb.e, cb.e))
+                      * sqrt(list_dot_product(qb.e, qb.e))) AS sim
+          FROM cb JOIN qb ON {any_match}
+        ),
+        ranked AS (
+          SELECT query_id, vec_id AS neighbor_id, sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, vec_id ASC) AS rank
+          FROM cand
+        )
+        SELECT query_id, neighbor_id, round(sim, 4) AS cosine_sim, rank
+        FROM ranked WHERE rank <= {k}
+    """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1114,24 +1214,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, 'doc_id_null_rate', round(nullrate, 6),
                    (nullrate <= 0.0) FROM s
         """,
-        "ann_topk": f"""
-            WITH q AS (SELECT vec_id AS query_id, embedding FROM embeddings
-                        WHERE vec_id < 8),
-                 c AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id >= 8),
-            scored AS (
-              SELECT a.query_id, b.vec_id AS neighbor_id, {_COS.replace('a.embedding', 'a.embedding').replace('b.embedding', 'b.embedding')} AS sim
-              FROM (SELECT query_id, embedding FROM q) a(query_id, embedding),
-                   c b
-            ),
-            ranked AS (
-              SELECT query_id, neighbor_id, sim,
-                     row_number() OVER (PARTITION BY query_id
-                                        ORDER BY sim DESC, neighbor_id ASC) AS rank
-              FROM scored
-            )
-            SELECT query_id, neighbor_id, round(sim, 4) AS cosine_sim, rank
-            FROM ranked WHERE rank <= 3
-        """,
+        "ann_topk": _ANN_EXACT_SQL,
+        # full-probe IVF must reproduce exact brute-force top-k no
+        # matter where the (seeded) k-means centroids landed
+        "ann_ivf_fullprobe": _ANN_EXACT_SQL,
         "embedding_near_dups": f"""
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round({_COS}, 4) AS cosine_sim
@@ -1140,6 +1226,7 @@ def oracle_sql() -> dict[str, str]:
               ON a.vec_id < b.vec_id
             WHERE {_COS} >= 0.25
         """,
+        "ann_lsh": _ann_lsh_sql(),
         "embedding_dedup_clusters": f"""
             WITH RECURSIVE pairs AS (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b
