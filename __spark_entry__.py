@@ -574,6 +574,25 @@ def q_events_hourly(spark, sf_dir):
     )
 
 
+def q_events_props_health(spark, sf_dir):
+    """JSON-ingest front door: from_json with quarantine routing —
+    per-event-type parse health (a malformed/non-object props value
+    quarantines the row instead of failing the job)."""
+    from medea_ps_spark.sources.jsonl import parse_health
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return parse_health(ev, "props", "k double", partition_col="event_type")
+
+
+def q_events_user_skew(spark, sf_dir):
+    """Key-skew diagnostic: top-10 heaviest user_ids with row share —
+    the report that drives broadcast-vs-salted join choices."""
+    from medea_ps_spark.operators.stats import skew_report
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return skew_report(ev, "user_id", top_n=10)
+
+
 def q_corpus_clean(spark, sf_dir):
     """Corpus-cleaning composition (exact dedup → quality filter) with
     full SQL oracle — per-stage survivor counts. (The near-dup stage is
@@ -811,6 +830,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": q_corpus_clean,
         "array_ops_check": q_array_ops_check,
         "events_top_users": q_events_top_users,
+        "events_props_health": q_events_props_health,
+        "events_user_skew": q_events_user_skew,
         "events_hourly": q_events_hourly,
         "events_sessions": q_events_sessions,
         "lineitem_pricing": q_lineitem_pricing,
@@ -1292,6 +1313,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_type, user_id,
                    round(total_value, 2) AS total_value, rank
             FROM ranked WHERE rank <= 2
+        """,
+        "events_props_health": """
+            SELECT event_type, count(*) AS n_rows,
+                   CAST(sum(CASE WHEN props IS NULL
+                                  OR NOT (json_valid(props)
+                                          AND json_type(props::JSON) = 'OBJECT')
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_quarantined,
+                   round(avg(CASE WHEN props IS NULL
+                                  OR NOT (json_valid(props)
+                                          AND json_type(props::JSON) = 'OBJECT')
+                             THEN 1.0 ELSE 0.0 END), 6) AS quarantine_rate
+            FROM events GROUP BY event_type
+        """,
+        "events_user_skew": """
+            WITH counts AS (
+              SELECT user_id AS key, count(*) AS n_rows
+              FROM events GROUP BY user_id
+            ), t AS (SELECT sum(n_rows) AS total FROM counts),
+            ranked AS (
+              SELECT key, n_rows,
+                     row_number() OVER (ORDER BY n_rows DESC, key ASC) AS rank
+              FROM counts
+            )
+            SELECT key, n_rows,
+                   round(CAST(n_rows AS DOUBLE) / total, 6) AS share, rank
+            FROM ranked, t WHERE rank <= 10
         """,
         "events_sessions": """
             WITH gapped AS (

@@ -89,6 +89,40 @@ def stats_bound_verdicts(
     )
 
 
+def skew_report(
+    df: DataFrame,
+    key_col: str,
+    top_n: int = 10,
+) -> DataFrame:
+    """Key-distribution diagnostic — what you run BEFORE choosing a join
+    strategy (broadcast vs salted, see operators/referential.py): the
+    ``top_n`` heaviest keys with their row share. One hash-agg over the
+    key (map-side partial), then a driver-bound top-k window over the
+    (small) distinct-key aggregate joined with a 1-row total.
+    Output: (key, n_rows, share, rank)."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col).alias("key")).agg(
+        F.count(F.lit(1)).alias("n_rows")
+    )
+    total = counts.agg(F.sum("n_rows").alias("_total"))
+    # top-k via orderBy+limit = TakeOrderedAndProject (per-partition
+    # top-k, driver merge) — no single-task global window over what may
+    # be billions of distinct keys; the rank window then runs over ≤N rows
+    top = counts.orderBy(F.desc("n_rows"), F.asc("key")).limit(top_n)
+    w = Window.orderBy(F.desc("n_rows"), F.asc("key"))
+    return (
+        top.withColumn("rank", F.row_number().over(w))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "key",
+            "n_rows",
+            F.round(F.col("n_rows") / F.col("_total"), 6).alias("share"),
+            "rank",
+        )
+    )
+
+
 def uniqueness_report(
     df: DataFrame, column: str = "doc_id", rsd: float = 0.01
 ) -> DataFrame:

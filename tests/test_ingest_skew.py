@@ -1,0 +1,61 @@
+"""JSON quarantine ingestion + key-skew report."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from medea_ps_spark.operators.stats import skew_report
+from medea_ps_spark.sources.jsonl import (
+    parse_health,
+    parse_json_column,
+    split_quarantine,
+)
+
+
+def test_parse_json_quarantine_classes(spark):
+    rows = [
+        ("good1", '{"k": 1.5}'),
+        ("good2", '{"k": 2, "extra": "ignored"}'),
+        ("missing_field", "{}"),            # valid object, k null — NOT quarantined
+        ("malformed", '{"k": 1.5'),         # truncated write
+        ("scalar", "5"),                    # valid JSON, not an object
+        ("array", "[1,2,3]"),               # valid JSON, not an object
+        ("null_input", None),
+        ("empty", ""),
+        ("garbage", "\x00\xff not json"),
+    ]
+    df = spark.createDataFrame(rows, "id string, js string")
+    out = {r["id"]: r for r in parse_json_column(df, "js", "k double").collect()}
+    quarantined = {k for k, r in out.items() if r["quarantined"]}
+    assert quarantined == {
+        "malformed", "scalar", "array", "null_input", "empty", "garbage"
+    }
+    assert out["good1"]["parsed"]["k"] == 1.5
+    assert out["missing_field"]["parsed"]["k"] is None
+
+    good, quar = split_quarantine(df, "js", "k double")
+    assert {r["id"] for r in good.collect()} == {"good1", "good2", "missing_field"}
+    # quarantine keeps the raw string for replay
+    qrows = {r["id"]: r["js"] for r in quar.collect()}
+    assert qrows["malformed"] == '{"k": 1.5'
+
+
+def test_parse_health_rollup(spark):
+    rows = [("a", '{"k":1}'), ("a", "bad{"), ("b", '{"k":2}'), ("b", '{"k":3}')]
+    df = spark.createDataFrame(rows, "source string, js string")
+    got = {r["source"]: r for r in parse_health(df, "js", "k double").collect()}
+    assert got["a"]["n_quarantined"] == 1 and got["a"]["quarantine_rate"] == 0.5
+    assert got["b"]["n_quarantined"] == 0
+
+
+def test_skew_report_orders_and_shares(spark):
+    # Zipf-ish: key0 dominates
+    rows = [(f"k{i % 4}",) for i in range(60)] + [("k0",)] * 40
+    df = spark.createDataFrame(rows, "user string")
+    rep = skew_report(df, "user", top_n=2).collect()
+    assert [r["key"] for r in rep] == ["k0", "k1"]
+    assert rep[0]["rank"] == 1 and rep[0]["n_rows"] == 55
+    assert abs(rep[0]["share"] - 0.55) < 1e-9
+    # plan shape: top-k must be TakeOrdered, not a global-window sort
+    plan = skew_report(df, "user", top_n=2)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
