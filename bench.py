@@ -192,27 +192,38 @@ def bench_queries(spark) -> dict:
     picks = [
         "validate_violations", "validate_verdicts", "partition_stats",
         "histogram_n_chars", "drift_chi2", "medea_validate_events",
-        "dedup_exact", "dedup_minhash_lsh", "ann_topk", "text_quality",
+        "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
+        "ann_topk", "ann_lsh", "text_quality",
         "lineitem_pricing", "orders_by_segment",
+        "stats_bounds", "events_user_skew", "seq_validation",
     ]
     qs = em.queries()
     out = {}
     for name in picks:
-        best = None
-        for _ in range(2):  # min-of-2: one host-noise burst can't own a number
+        t0 = time.time()
+        n = qs[name](spark, SF_DIR).count()
+        best = time.time() - t0
+        # min-of-2 so one noise burst can't own a number — but only for
+        # cheap queries; re-running the multi-second ones doubles bench
+        # wall time in exactly the noisy windows where it matters least
+        if best < 3.0:
             t0 = time.time()
             n = qs[name](spark, SF_DIR).count()
-            t = time.time() - t0
-            best = t if best is None else min(best, t)
-            _ = n
+            best = min(best, time.time() - t0)
         out[name] = round(best, 3)
+        _ = n
     return out
 
 
 def main():
     results = {}
     scaling = {}
-    reps = int(os.environ.get("MEDEA_BENCH_REPS", "2"))
+    # 3 interleaved reps: the host's noise is sub-minute BURSTY (a 20s
+    # job can measure 120s), so min-of-2 regularly eats a storm; the
+    # budget comes from warming each (cores, rows) level only ONCE —
+    # the JVM (and its codegen cache) survives spark.stop() within this
+    # process, so later reps start hot.
+    reps = int(os.environ.get("MEDEA_BENCH_REPS", "3"))
     small = max(2, CPUS // 4)
 
     # generate both inputs once, at full parallelism (untimed)
@@ -238,13 +249,24 @@ def main():
         else [(CPUS, SEQ_ROWS)]
     )
     times = {r: [] for r in runs}
+    probe_times = {8: [], 32: []}
+    warmed = set()
     for _ in range(reps):
         for cores, rows in runs:
             spark = _session(cores)
-            _row_validate_job(spark, rows)  # warm JIT/codegen, untimed
+            if (cores, rows) not in warmed:
+                _row_validate_job(spark, rows)  # warm JIT/codegen, untimed
+                warmed.add((cores, rows))
             t, info = timed(_row_validate_job, spark, rows)
             times[(cores, rows)].append(t)
             spark.stop()
+        if RUN_SCALING:
+            # host ceiling probe INTERLEAVED with the Spark reps so the
+            # normalization shares the same noise window (see
+            # _host_cpu_probe docstring)
+            p = _host_cpu_probe(reps=1)
+            probe_times[8].append(p["host_probe_8p_sec"])
+            probe_times[32].append(p["host_probe_32p_sec"])
     head_rows = SEQ_ROWS_BIG if RUN_SCALING else SEQ_ROWS
     t_big = min(times[(CPUS, head_rows)])
     rows_per_sec = head_rows / t_big
@@ -263,7 +285,11 @@ def main():
             (min(times[(small, SEQ_ROWS_BIG)]) / t_big) / (CPUS / small), 3
         )
         # host ceiling measured in the same noise window (see docstring)
-        scaling.update(_host_cpu_probe(reps))
+        scaling["host_probe_8p_sec"] = round(min(probe_times[8]), 2)
+        scaling["host_probe_32p_sec"] = round(min(probe_times[32]), 2)
+        scaling["host_probe_eff_8_to_32"] = round(
+            (min(probe_times[8]) / min(probe_times[32])) / 4.0, 3
+        )
         raw = scaling[f"efficiency_{small}_to_{CPUS}"]
         ceil = scaling["host_probe_eff_8_to_32"]
         scaling[f"efficiency_{small}_to_{CPUS}_normalized"] = round(
