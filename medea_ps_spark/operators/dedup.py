@@ -57,12 +57,20 @@ def exact_duplicates(
 
 
 def dedup_exact(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_order=None,
 ) -> DataFrame:
-    """Survivors after exact dedup (keep min-id per fingerprint) — a
-    groupBy+min plus a self-semi-join, no full-row shuffle of text."""
+    """Survivors after exact dedup: one row per normalized-text
+    fingerprint. ``keep_order`` — a list of Column sort expressions —
+    decides WHICH copy survives (first row in that order); default is
+    ascending id (stable min-id policy). A curation pipeline typically
+    passes e.g. ``[F.desc("quality_score"), F.asc("doc_id")]`` to keep
+    the best copy, with the id as the deterministic tie-break."""
+    order = keep_order if keep_order is not None else [F.col(id_col)]
     w = F.row_number().over(
-        Window.partitionBy(fingerprint(F.col(text_col))).orderBy(F.col(id_col))
+        Window.partitionBy(fingerprint(F.col(text_col))).orderBy(*order)
     )
     return df.withColumn("_rn", w).where(F.col("_rn") == 1).drop("_rn")
 

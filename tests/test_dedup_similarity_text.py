@@ -93,6 +93,27 @@ def test_ngram_jaccard_matches_python(spark, docs):
 # -- minhash LSH -------------------------------------------------------------------
 
 
+def test_dedup_exact_keep_order_policy(spark):
+    """keep_order selects WHICH duplicate survives — keep the
+    highest-quality copy instead of the min id."""
+    rows = [
+        (1, "same text here", 0.2),
+        (2, "same text here", 0.9),  # best copy — must survive
+        (3, "same text here", 0.5),
+        (4, "a different document", 0.1),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string, q double")
+    default = {r["doc_id"] for r in DD.dedup_exact(df).collect()}
+    assert default == {1, 4}  # min-id policy unchanged
+    best = {
+        r["doc_id"]
+        for r in DD.dedup_exact(
+            df, keep_order=[F.desc("q"), F.asc("doc_id")]
+        ).collect()
+    }
+    assert best == {2, 4}
+
+
 def test_minhash_lsh_finds_planted_near_dups(spark):
     base = (
         "the quick brown fox jumps over the lazy dog and then runs far away "
