@@ -80,6 +80,30 @@ def write_bucketed(
     w.saveAsTable(table_name)
 
 
+def write_sorted(
+    df: DataFrame,
+    path: str,
+    sort_col: str,
+    num_files: int = 8,
+    partition_col: Optional[str] = None,
+    mode: str = "overwrite",
+) -> None:
+    """Zone-map-friendly layout: repartition by range on ``sort_col``
+    then sort within partitions before writing, so each parquet
+    row-group's min/max statistics cover a NARROW, mostly-disjoint
+    value range. Point/range predicates on ``sort_col`` then skip whole
+    row groups at scan time (parquet filter pushdown reads only the
+    stats) — at 100 TB this is the difference between scanning the
+    corpus and scanning a sliver. Verified against actual row-group
+    metadata in tests."""
+    out = df.repartitionByRange(num_files, sort_col)
+    out = out.sortWithinPartitions(sort_col)
+    w = out.write.mode(mode)
+    if partition_col:
+        w = w.partitionBy(partition_col)
+    w.parquet(path)
+
+
 def load_sf_tables(spark: SparkSession, sf_dir: str) -> dict:
     """All driver-provided tables of a scale-factor directory."""
     names = [

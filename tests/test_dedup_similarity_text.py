@@ -136,6 +136,27 @@ def test_minhash_lsh_finds_planted_near_dups(spark):
         assert 0.6 <= r["jaccard"] <= 1.0
 
 
+def test_minhash_md5_and_xxhash_agree_on_verified_pairs(spark):
+    """The md5 (oracle-checkable) and xxhash64 (scale) variants may
+    differ in candidate RECALL, but every emitted pair is verified with
+    exact Jaccard — on a high-similarity planted corpus both must
+    surface the identical verified pair set with identical values."""
+    base = (
+        "the quick brown fox jumps over the lazy dog and then runs far "
+        "away into the deep green forest while the hunter watches"
+    )
+    rows = [(f"d{i}", base + f" tail{i}") for i in range(8)]
+    rows += [(f"u{i}", f"unrelated text {i} about {i*13} submarines and "
+              f"volcano {i*7} gardens") for i in range(8)]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    def pairs(fn):
+        got = DD.minhash_near_duplicates(
+            df, num_hashes=32, bands=8, threshold=0.6, hash_fn=fn
+        ).collect()
+        return {(r["id_a"], r["id_b"]): round(r["jaccard"], 9) for r in got}
+    assert pairs("md5") == pairs("xxhash64")
+
+
 def test_minhash_jaccard_estimate_unbiased(spark):
     a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 3
     b = "alpha beta gamma delta epsilon zeta eta theta lambda mu " * 3

@@ -137,6 +137,43 @@ def test_ivf_list_layout_prunes_partitions(spark, tmp_path):
     assert part_lines and "ivf_list" in part_lines[0], plan
 
 
+def test_write_sorted_rowgroups_are_zone_map_prunable(spark, tmp_path):
+    """write_sorted must produce row groups whose min/max stats on the
+    sort column are narrow and non-overlapping across files, so a range
+    predicate can skip whole row groups — checked against the actual
+    parquet footer metadata, not the plan."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from medea_ps_spark.sources.tables import write_sorted
+    from medea_ps_spark.sources.synthetic import sequences
+
+    df = sequences(spark, 20_000, seed=17).select("doc_id", "n_tok")
+    path = str(tmp_path / "sorted")
+    write_sorted(df.where(F.col("doc_id").isNotNull()), path, "n_tok",
+                 num_files=4)
+    spans = []
+    for f in glob.glob(f"{path}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            col = next(
+                md.row_group(rg).column(i)
+                for i in range(md.row_group(rg).num_columns)
+                if md.row_group(rg).column(i).path_in_schema == "n_tok"
+            )
+            spans.append((col.statistics.min, col.statistics.max))
+    assert len(spans) >= 4
+    spans.sort()
+    # prunability = DISJOINT spans (equal-frequency ranges are wide at
+    # the tail of a skewed column — that's fine; what matters is that a
+    # point/range predicate overlaps few row groups)
+    overlaps = sum(
+        1 for (a0, a1), (b0, b1) in zip(spans, spans[1:]) if a1 >= b0
+    )
+    assert overlaps <= len(spans) // 4, spans
+
+
 def test_clean_corpus_audit_is_one_job(spark):
     """The cleaning report must come from ONE aggregation pass (stage
     flags + single agg), not one full-lineage count per stage — at
