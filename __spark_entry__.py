@@ -593,6 +593,49 @@ def q_events_user_skew(spark, sf_dir):
     return skew_report(ev, "user_id", top_n=10)
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: training docs (doc_id ≥ 20) sharing
+    any 8-gram with the 'eval set' (doc_id < 20); eval shingles
+    broadcast, corpus never shuffles."""
+    df = _docs(spark, sf_dir)
+    ev = df.where(F.col("doc_id") < 20)
+    tr = df.where((F.col("doc_id") >= 20) & (F.col("doc_id") < 400))
+    out = DD.contamination_check(tr, ev, shingle_k=8)
+    return out.where(F.col("contaminated")).select(
+        "doc_id", "n_contaminated_shingles"
+    )
+
+
+def q_text_pii_scrub(spark, sf_dir):
+    """PII scrub audit: deterministic PII is planted into every 7th doc
+    (the synthetic corpus contains none), then detected + redacted with
+    pure expressions; per-source counts prove the patterns fire and the
+    redacted text differs exactly where they did."""
+    from medea_ps_spark.functions.redact import scrub
+
+    df = _docs(spark, sf_dir).withColumn(
+        "text2",
+        F.when(
+            F.col("doc_id") % 7 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com or 555-867-5309 from 10.0.0.1"),
+            ),
+        ).otherwise(F.col("text")),
+    )
+    out = scrub(df, "text2")
+    return out.groupBy("source").agg(
+        F.sum("pii_email").alias("n_emails"),
+        F.sum("pii_phone").alias("n_phones"),
+        F.sum("pii_ipv4").alias("n_ips"),
+        F.sum((F.col("text2_redacted") != F.col("text2")).cast("bigint")).alias(
+            "n_docs_redacted"
+        ),
+    )
+
+
 def q_corpus_clean(spark, sf_dir):
     """Corpus-cleaning composition (exact dedup → quality filter) with
     full SQL oracle — per-stage survivor counts. (The near-dup stage is
@@ -828,6 +871,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_en_markers": q_text_en_markers,
         "text_fingerprints": q_text_fingerprints,
         "corpus_clean": q_corpus_clean,
+        "contamination": q_contamination,
+        "text_pii_scrub": q_text_pii_scrub,
         "array_ops_check": q_array_ops_check,
         "events_top_users": q_events_top_users,
         "events_props_health": q_events_props_health,
@@ -907,6 +952,15 @@ _SHINGLES = (
     "list_transform(generate_series(1, greatest(len(_toks)-2, 0)), "
     "i -> concat_ws(' ', _toks[i], _toks[i+1], _toks[i+2]))"
 )
+
+
+def _shingles_sql(k: int) -> str:
+    """DuckDB twin of word_shingles(k) over a ``_toks`` list column."""
+    terms = ", ".join(f"_toks[i+{j}]" for j in range(k))
+    return (
+        f"list_transform(generate_series(1, greatest(len(_toks)-{k-1}, 0)), "
+        f"i -> concat_ws(' ', {terms}))"
+    )
 
 
 def _ngram_pairs_sql(id_cap: int, threshold: float) -> str:
@@ -1381,6 +1435,57 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(*) FROM deduped) AS n_after_dedup,
                    (SELECT count(*) FROM deduped WHERE {_QUALITY_OK})
                      AS n_after_quality
+        """,
+        "contamination": f"""
+            WITH ev AS (
+              SELECT DISTINCT unnest(list_distinct({_shingles_sql(8)}))
+                       AS shingle
+              FROM (SELECT string_split(trim({_NORM}), ' ') AS _toks
+                    FROM documents WHERE doc_id < 20)
+            ),
+            tr AS (
+              SELECT doc_id, unnest(list_distinct({_shingles_sql(8)}))
+                       AS shingle
+              FROM (SELECT doc_id, string_split(trim({_NORM}), ' ') AS _toks
+                    FROM documents WHERE doc_id >= 20 AND doc_id < 400)
+            )
+            SELECT tr.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_contaminated_shingles
+            FROM tr JOIN ev USING (shingle)
+            GROUP BY tr.doc_id
+        """,
+        "text_pii_scrub": """
+            WITH injected AS (
+              SELECT source,
+                     CASE WHEN doc_id % 7 = 0
+                          THEN concat(text, ' contact user',
+                                      CAST(doc_id AS VARCHAR),
+                                      '@example.com or 555-867-5309 from 10.0.0.1')
+                          ELSE text END AS text2
+              FROM documents
+            ), counted AS (
+              SELECT source, text2,
+                len(regexp_extract_all(text2,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS e,
+                len(regexp_extract_all(text2,
+                  '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b')) AS p,
+                len(regexp_extract_all(text2,
+                  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS i,
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                  text2,
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                  '\\b\\d{3}[-.]\\d{3}[-.]\\d{4}\\b', '<PHONE>', 'g'),
+                  '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+                  '\\b\\d{3}-\\d{2}-\\d{4}\\b', '<SSN>', 'g') AS red
+              FROM injected
+            )
+            SELECT source,
+                   CAST(sum(e) AS BIGINT) AS n_emails,
+                   CAST(sum(p) AS BIGINT) AS n_phones,
+                   CAST(sum(i) AS BIGINT) AS n_ips,
+                   CAST(sum(CASE WHEN red <> text2 THEN 1 ELSE 0 END) AS BIGINT)
+                     AS n_docs_redacted
+            FROM counted GROUP BY source
         """,
         "lineitem_pricing": """
             SELECT l_returnflag, l_linestatus,

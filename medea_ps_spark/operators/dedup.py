@@ -382,6 +382,55 @@ def simhash_near_duplicates(
     )
 
 
+# -- benchmark contamination ---------------------------------------------------------
+
+
+def contamination_check(
+    df: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_text_col: str = "text",
+    shingle_k: int = 8,
+) -> DataFrame:
+    """Flags training docs that share ANY ``shingle_k``-gram with an
+    eval/benchmark set — the decontamination pass every training corpus
+    needs before a benchmark is trustworthy (k≈8-13 word n-grams is the
+    standard definition, cf. GPT-3/PaLM appendix methodology).
+
+    Scale shape: the eval set is tiny relative to the corpus, so its
+    distinct shingle set is broadcast and the corpus side never
+    shuffles; output adds (n_contaminated_shingles, contaminated) per
+    input row. Returns the input columns + the two flags."""
+    ev = (
+        eval_df.select(
+            F.explode(
+                F.array_distinct(word_shingles(F.col(eval_text_col), k=shingle_k))
+            ).alias("shingle")
+        )
+        .distinct()
+    )
+    tr = df.select(
+        F.col(id_col),
+        F.explode(
+            F.array_distinct(word_shingles(F.col(text_col), k=shingle_k))
+        ).alias("shingle"),
+    )
+    hits = (
+        tr.join(F.broadcast(ev), "shingle")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
+    )
+    return (
+        df.join(hits, id_col, "left")
+        .withColumn(
+            "n_contaminated_shingles",
+            F.coalesce(F.col("n_contaminated_shingles"), F.lit(0)).cast("bigint"),
+        )
+        .withColumn("contaminated", F.col("n_contaminated_shingles") > 0)
+    )
+
+
 # -- n-gram Jaccard (exact, for modest candidate sets / oracle parity) ---------------
 
 

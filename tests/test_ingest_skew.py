@@ -48,6 +48,49 @@ def test_parse_health_rollup(spark):
     assert got["b"]["n_quarantined"] == 0
 
 
+def test_contamination_check_planted(spark):
+    from medea_ps_spark.operators.dedup import contamination_check
+
+    bench_q = ("what is the capital of france and which river runs "
+               "through its old town center")
+    evals = spark.createDataFrame(
+        [("e0", bench_q), ("e1", "solve for x in the quadratic equation")],
+        "doc_id string, text string",
+    )
+    train = spark.createDataFrame(
+        [
+            ("t0", f"some scraped page asking {bench_q} with extra words"),
+            ("t1", "a perfectly clean training document about cooking pasta "
+                   "with tomatoes and fresh basil in a copper pot"),
+        ],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r for r in contamination_check(
+        train, evals, shingle_k=8).collect()}
+    assert out["t0"]["contaminated"] and out["t0"]["n_contaminated_shingles"] > 0
+    assert not out["t1"]["contaminated"]
+    assert out["t1"]["n_contaminated_shingles"] == 0
+
+
+def test_pii_scrub_classes(spark):
+    from medea_ps_spark.functions.redact import scrub
+
+    rows = [
+        ("a", "mail me at john.doe+spam@corp.example.org today"),
+        ("b", "call 555-123-4567 or visit 192.168.10.1 ssn 123-45-6789"),
+        ("c", "no pii here, just 12345 and 3.14 and v1.2.3 mentions"),
+    ]
+    df = spark.createDataFrame(rows, "id string, text string")
+    out = {r["id"]: r for r in scrub(df).collect()}
+    assert out["a"]["pii_email"] == 1 and "<EMAIL>" in out["a"]["text_redacted"]
+    assert out["b"]["pii_phone"] == 1 and out["b"]["pii_ipv4"] == 1
+    assert out["b"]["pii_ssn"] == 1
+    assert "<PHONE>" in out["b"]["text_redacted"]
+    assert "<SSN>" in out["b"]["text_redacted"]
+    assert out["c"]["text_redacted"] == out["c"]["text"]
+    assert out["c"]["pii_email"] == out["c"]["pii_phone"] == 0
+
+
 def test_skew_report_orders_and_shares(spark):
     # Zipf-ish: key0 dominates
     rows = [(f"k{i % 4}",) for i in range(60)] + [("k0",)] * 40
