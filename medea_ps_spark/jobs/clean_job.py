@@ -30,6 +30,12 @@ def main() -> None:
                     help="existing language column (else heuristic lang ID)")
     ap.add_argument("--no-near-dup", action="store_true")
     ap.add_argument("--minhash-threshold", type=float, default=0.7)
+    ap.add_argument("--eval-set", default=None,
+                    help="parquet path of a benchmark/eval corpus; "
+                         "training docs sharing any k-gram are dropped")
+    ap.add_argument("--contamination-k", type=int, default=8)
+    ap.add_argument("--scrub-pii", action="store_true",
+                    help="redact emails/phones/IPs/SSNs in survivors")
     ap.add_argument("--partition-col", default=None,
                     help="partition the output parquet by this column")
     args = ap.parse_args()
@@ -40,6 +46,7 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("medea-clean").getOrCreate()
     df = spark.read.parquet(args.input)
+    eval_df = spark.read.parquet(args.eval_set) if args.eval_set else None
     clean, rep = clean_corpus(
         df,
         text_col=args.text_col,
@@ -48,6 +55,9 @@ def main() -> None:
         near_dup=not args.no_near_dup,
         minhash_threshold=args.minhash_threshold,
         lang_col=args.lang_col,
+        eval_df=eval_df,
+        contamination_k=args.contamination_k,
+        scrub_pii=args.scrub_pii,
     )
     writer = clean.write.mode("overwrite")
     if args.partition_col:
@@ -58,8 +68,10 @@ def main() -> None:
             "input_rows": rep.input_rows,
             "after_exact_dedup": rep.after_exact_dedup,
             "after_near_dedup": rep.after_near_dedup,
+            "after_decontamination": rep.after_decontamination,
             "after_quality": rep.after_quality,
             "after_language": rep.after_language,
+            "pii_redacted_rows": rep.pii_redacted_rows,
             "stages": rep.stages,
             "output": args.output,
         },

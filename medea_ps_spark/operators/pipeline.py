@@ -28,8 +28,13 @@ from .textquality import language_scores, quality_features
 _INTERNAL_COLS = (
     "n_chars_q", "n_tokens", "n_tokens_bpe", "punct_ratio",
     "stopword_ratio", "mean_token_len", "quality_ok", "lang_guess",
+    "n_contaminated_shingles", "contaminated",
+    "pii_email", "pii_phone", "pii_ipv4", "pii_ssn",
 )
-_FLAG_COLS = ("_keep_exact", "_keep_near", "_keep_quality", "_keep_lang")
+_FLAG_COLS = (
+    "_keep_exact", "_keep_near", "_keep_decontam", "_keep_quality",
+    "_keep_lang",
+)
 
 
 @dataclass
@@ -37,8 +42,10 @@ class CleaningReport:
     input_rows: int = 0
     after_exact_dedup: int = 0
     after_near_dedup: int = 0
+    after_decontamination: int = 0
     after_quality: int = 0
     after_language: int = 0
+    pii_redacted_rows: int = 0
     stages: List[Dict] = field(default_factory=list)
 
 
@@ -50,9 +57,17 @@ def clean_corpus(
     near_dup: bool = True,
     minhash_threshold: float = 0.7,
     lang_col: Optional[str] = None,
+    eval_df: Optional[DataFrame] = None,
+    contamination_k: int = 8,
+    scrub_pii: bool = False,
 ) -> tuple:
     """Returns (clean_df, CleaningReport). Stage survivorship is encoded
-    as cumulative flag columns; the report is ONE aggregation job."""
+    as cumulative flag columns; the report is ONE aggregation job.
+
+    Optional stages: ``eval_df`` drops training docs sharing any
+    ``contamination_k``-gram with the benchmark set (decontamination);
+    ``scrub_pii`` redacts email/phone/IP/SSN in the surviving text and
+    reports how many rows were touched."""
     w = Window.partitionBy(fingerprint(F.col(text_col))).orderBy(F.col(id_col))
     flagged = df.withColumn("_keep_exact", F.row_number().over(w) == 1)
 
@@ -77,8 +92,21 @@ def clean_corpus(
     else:
         flagged = flagged.withColumn("_keep_near", F.col("_keep_exact"))
 
+    if eval_df is not None:
+        from .dedup import contamination_check
+
+        flagged = contamination_check(
+            flagged, eval_df, text_col, id_col,
+            eval_text_col=text_col, shingle_k=contamination_k,
+        )
+        flagged = flagged.withColumn(
+            "_keep_decontam", F.col("_keep_near") & ~F.col("contaminated")
+        )
+    else:
+        flagged = flagged.withColumn("_keep_decontam", F.col("_keep_near"))
+
     flagged = quality_features(flagged, text_col).withColumn(
-        "_keep_quality", F.col("_keep_near") & F.col("quality_ok")
+        "_keep_quality", F.col("_keep_decontam") & F.col("quality_ok")
     )
 
     if allowed_langs:
@@ -92,28 +120,50 @@ def clean_corpus(
     else:
         flagged = flagged.withColumn("_keep_lang", F.col("_keep_quality"))
 
+    if scrub_pii:
+        from ..functions.redact import redact_pii
+
+        flagged = flagged.withColumn("_redacted", redact_pii(F.col(text_col)))
+        flagged = flagged.withColumn(
+            "_was_redacted", F.col("_keep_lang") & (F.col("_redacted") != F.col(text_col))
+        )
+
     # -- the audit: ONE aggregation pass over the flagged corpus
-    counts = flagged.agg(
-        F.count(F.lit(1)).alias("n_input"),
-        *[
-            F.sum(F.col(c).cast("bigint")).alias(c)
-            for c in _FLAG_COLS
-        ],
-    ).collect()[0]
+    aggs = [F.count(F.lit(1)).alias("n_input")] + [
+        F.sum(F.col(c).cast("bigint")).alias(c) for c in _FLAG_COLS
+    ]
+    if scrub_pii:
+        aggs.append(
+            F.sum(F.col("_was_redacted").cast("bigint")).alias("_n_redacted")
+        )
+    counts = flagged.agg(*aggs).collect()[0]
     rep = CleaningReport(
         input_rows=int(counts["n_input"]),
         after_exact_dedup=int(counts["_keep_exact"]),
         after_near_dedup=int(counts["_keep_near"]),
+        after_decontamination=int(counts["_keep_decontam"]),
         after_quality=int(counts["_keep_quality"]),
         after_language=int(counts["_keep_lang"]),
+        pii_redacted_rows=int(counts["_n_redacted"]) if scrub_pii else 0,
     )
     rep.stages = [
         {"stage": "exact_dedup", "removed": rep.input_rows - rep.after_exact_dedup},
         {"stage": "near_dedup", "removed": rep.after_exact_dedup - rep.after_near_dedup},
-        {"stage": "quality", "removed": rep.after_near_dedup - rep.after_quality},
+        {"stage": "decontamination",
+         "removed": rep.after_near_dedup - rep.after_decontamination},
+        {"stage": "quality",
+         "removed": rep.after_decontamination - rep.after_quality},
         {"stage": "language", "removed": rep.after_quality - rep.after_language},
     ]
+    if scrub_pii:
+        rep.stages.append(
+            {"stage": "pii_scrub", "redacted_rows": rep.pii_redacted_rows}
+        )
 
     out = flagged.where(F.col("_keep_lang"))
+    if scrub_pii:
+        out = out.withColumn(text_col, F.col("_redacted")).drop(
+            "_redacted", "_was_redacted"
+        )
     drop = [c for c in _INTERNAL_COLS + _FLAG_COLS if c in out.columns]
     return out.drop(*drop), rep

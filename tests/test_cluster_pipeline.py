@@ -60,6 +60,31 @@ def test_quantile_drift(spark):
     assert v2["drifted"], v2
 
 
+def test_clean_corpus_decontamination_and_pii(spark):
+    bench_q = ("which planet in the solar system has the largest number "
+               "of confirmed natural satellites orbiting it today")
+    rows = [
+        (0, f"web page discussing {bench_q} and other astronomy trivia"),
+        (1, "a long clean document about growing tomatoes in a greenhouse "
+            "with drip irrigation and proper winter ventilation"),
+        (2, "another clean text mentioning contact me at bob@example.com "
+            "for the full gardening schedule with friends and family"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, text string")
+    evals = spark.createDataFrame([(100, bench_q)], "doc_id bigint, text string")
+    clean, rep = clean_corpus(
+        df, near_dup=False, eval_df=evals, contamination_k=8, scrub_pii=True
+    )
+    kept = {r["doc_id"]: r["text"] for r in clean.collect()}
+    assert 0 not in kept                       # contaminated doc dropped
+    assert set(kept) == {1, 2}
+    assert "<EMAIL>" in kept[2] and "bob@example.com" not in kept[2]
+    assert rep.after_near_dedup - rep.after_decontamination == 1
+    assert rep.pii_redacted_rows == 1
+    assert {"stage": "decontamination", "removed": 1} in rep.stages
+    assert clean.columns == ["doc_id", "text"]
+
+
 def test_clean_corpus_pipeline(spark):
     import random as _random
 
