@@ -222,6 +222,96 @@ def extract_features(
     return df.mapInPandas(run, schema=FEATURE_SCHEMA)
 
 
+def resize_plan(
+    df: DataFrame,
+    max_side: int = 256,
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Aspect-preserving resize TARGETS computed from the parsed PNG
+    header as pure expressions (no decode needed to plan a resize):
+    adds resize_w / resize_h / resize_scale, null for non-PNG payloads.
+    The actual pixel resample is the decode stub's job — the planning
+    math (what a distributed preprocessing job shuffles/batches on) is
+    real and tested."""
+    out = png_metadata(df, payload_col)
+    w, h = F.col("png_width").cast("double"), F.col("png_height").cast("double")
+    scale = F.least(
+        F.lit(float(max_side)) / F.greatest(w, h), F.lit(1.0)
+    )
+    return (
+        out.withColumn("resize_scale", F.when(F.col("png_ok"), scale))
+        .withColumn(
+            "resize_w",
+            F.when(F.col("png_ok"), F.greatest(F.round(w * scale), F.lit(1.0)))
+            .cast("int"),
+        )
+        .withColumn(
+            "resize_h",
+            F.when(F.col("png_ok"), F.greatest(F.round(h * scale), F.lit(1.0)))
+            .cast("int"),
+        )
+    )
+
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("ts_ms", IntegerType()),
+        StructField("frame_bytes", BinaryType()),
+    ]
+)
+
+
+def sample_frames(
+    df: DataFrame,
+    every_ms: int = 1000,
+    max_frames: int = 32,
+    frame_decoder: Optional[Callable[[bytes, int], bytes]] = None,
+) -> DataFrame:
+    """Video frame sampling through mapInPandas — the ONE-ROW-IN,
+    MANY-ROWS-OUT Arrow shape (vs extract_features' 1:1): each video row
+    fans out to one row per sampled timestamp at ``every_ms`` intervals
+    across duration_ms, capped at ``max_frames``. The real decoder hook
+    (``frame_decoder(payload, ts_ms) -> frame bytes``) is where ffmpeg
+    plugs in; the default is a deterministic fake that slices the
+    payload, keeping the schema/batching/fan-out plumbing real."""
+
+    def fake_frame(payload: bytes, ts_ms: int) -> bytes:
+        if not payload:
+            return b""
+        start = ts_ms % max(len(payload), 1)
+        return payload[start:start + 16]
+
+    dec = frame_decoder or fake_frame
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, tss, frames = [], [], [], []
+            for _, row in pdf.iterrows():
+                if row["kind"] != "video":
+                    continue
+                dur = int(row["duration_ms"] or 0)
+                payload = bytes(row["payload"]) if row["payload"] is not None else b""
+                n = min(max(dur // every_ms, 0) + 1, max_frames)
+                for i in range(n):
+                    ids.append(row["media_id"])
+                    idxs.append(i)
+                    tss.append(i * every_ms)
+                    frames.append(dec(payload, i * every_ms))
+            if ids:
+                yield pd.DataFrame(
+                    {
+                        "media_id": ids,
+                        "frame_idx": np.array(idxs, dtype=np.int32),
+                        "ts_ms": np.array(tss, dtype=np.int32),
+                        "frame_bytes": frames,
+                    }
+                )
+
+    return df.mapInPandas(run, schema=FRAME_SCHEMA)
+
+
 def synthetic_media(spark, n: int, seed: int = 42) -> DataFrame:
     """Deterministic fake media table with the MEDIA_SCHEMA shape."""
     df = spark.range(n)

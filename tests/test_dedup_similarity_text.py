@@ -392,6 +392,43 @@ def test_wav_metadata_jvm_parse(spark):
     assert not got["png"]["wav_ok"] and not got["junk"]["wav_ok"]
 
 
+def test_resize_plan_math(spark):
+    rows = [
+        ("wide", MM.synthetic_png(640, 480)),
+        ("tall", MM.synthetic_png(100, 400)),
+        ("small", MM.synthetic_png(100, 50)),   # under max_side: no upscale
+        ("junk", b"not a png"),
+    ]
+    df = spark.createDataFrame(rows, "media_id string, payload binary")
+    got = {r["media_id"]: r for r in MM.resize_plan(df, max_side=256).collect()}
+    assert (got["wide"]["resize_w"], got["wide"]["resize_h"]) == (256, 192)
+    assert (got["tall"]["resize_w"], got["tall"]["resize_h"]) == (64, 256)
+    assert (got["small"]["resize_w"], got["small"]["resize_h"]) == (100, 50)
+    assert got["junk"]["resize_w"] is None
+
+
+def test_sample_frames_fanout(spark):
+    media = MM.synthetic_media(spark, 30)  # kinds cycle image/audio/video
+    frames = MM.sample_frames(media, every_ms=1000, max_frames=8).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r)
+    videos = {r["media_id"]: r for r in media.collect() if r["kind"] == "video"}
+    assert set(by_id) == set(videos)  # only video rows fan out
+    for mid, rows in by_id.items():
+        dur = videos[mid]["duration_ms"]
+        want = min(dur // 1000 + 1, 8)
+        assert len(rows) == want, (mid, dur)
+        idxs = sorted(r["frame_idx"] for r in rows)
+        assert idxs == list(range(want))
+        assert all(r["ts_ms"] == r["frame_idx"] * 1000 for r in rows)
+    # deterministic fake frames
+    again = MM.sample_frames(media, every_ms=1000, max_frames=8).collect()
+    assert sorted((r["media_id"], r["frame_idx"], bytes(r["frame_bytes"]))
+                  for r in frames) == sorted(
+        (r["media_id"], r["frame_idx"], bytes(r["frame_bytes"])) for r in again)
+
+
 def test_png_header_decoder_in_feature_path(spark):
     """The real bytes-level decoder plugged into the mapInPandas path:
     features carry the parsed dimensions; non-PNG payloads raise."""
