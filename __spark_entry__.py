@@ -390,20 +390,40 @@ def q_ann_lsh(spark, sf_dir):
     )
 
 
+IVF_CENTROIDS_PATH = "/root/repo/tests/fixtures/ivf_centroids.json"
+
+
+def _ivf_centroids():
+    """Committed coarse quantizer (scripts/make_ivf_centroids.py) — a
+    versioned artifact, as in production. Fixed centroids make the
+    partial-probe IVF path deterministic and SQL-oracle-checkable."""
+    import json
+
+    import numpy as np
+
+    with open(IVF_CENTROIDS_PATH) as f:
+        return np.array(json.load(f), dtype=np.float64)
+
+
 def q_ann_ivf(spark, sf_dir):
-    """IVF-bucketed ANN (k-means coarse quantizer trained on a driver
-    sample — rows-only check; recall vs exact is unit-tested)."""
+    """IVF-bucketed ANN with the COMMITTED quantizer: list assignment,
+    probe selection (n_probe=3), and exact re-rank — the oracle embeds
+    the same centroids as SQL literals and reproduces all three."""
     from medea_ps_spark.operators import ivf as IVF
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    cent = IVF.train_centroids(emb, k=8, sample=2000, iters=8)
+    cent = _ivf_centroids()
     queries = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return IVF.ivf_topk(
+    topk = IVF.ivf_topk(
         emb.where(F.col("vec_id") >= 8), queries, cent, k=3, n_probe=3
+    )
+    return topk.select(
+        "query_id", "neighbor_id",
+        F.round(F.col("cosine_sim"), 4).alias("cosine_sim"), "rank",
     )
 
 
@@ -436,7 +456,7 @@ def q_ann_ivf_fullprobe(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
         "embedding", F.col("embedding").cast("array<double>")
     )
-    cent = IVF.train_centroids(emb, k=8, sample=2000, iters=8)
+    cent = _ivf_centroids()
     queries = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -1084,6 +1104,62 @@ def _ann_lsh_sql(n_planes: int = 6, n_tables: int = 6, dim: int = 64,
     """
 
 
+def _ann_ivf_sql(n_probe: int = 3, k: int = 3) -> str:
+    """SQL twin of q_ann_ivf with the committed centroids as literals.
+    Tie-break parity with ivf.py: assignment uses array_max over
+    struct(sim, idx) (ties → larger idx) and probes use
+    reverse(array_sort) (ties → larger idx first), so both ORDER BY
+    sim DESC, cid DESC."""
+    cent = _ivf_centroids()
+    vals = ", ".join(
+        f"({i}, [{','.join(repr(float(x)) for x in c)}]::DOUBLE[])"
+        for i, c in enumerate(cent)
+    )
+    return f"""
+        WITH cent(cid, cv) AS (VALUES {vals}),
+        corpus AS (SELECT vec_id, embedding::DOUBLE[] AS e
+                   FROM embeddings WHERE vec_id >= 8),
+        queries AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS e
+                    FROM embeddings WHERE vec_id < 8),
+        assign AS (
+          SELECT vec_id, e, cid AS ivf_list FROM (
+            SELECT c.vec_id, c.e, ct.cid,
+                   row_number() OVER (
+                     PARTITION BY c.vec_id
+                     ORDER BY list_dot_product(c.e, ct.cv) DESC, ct.cid DESC
+                   ) AS rn
+            FROM corpus c, cent ct
+          ) WHERE rn = 1
+        ),
+        probes AS (
+          SELECT query_id, e, cid AS probe FROM (
+            SELECT q.query_id, q.e, ct.cid,
+                   row_number() OVER (
+                     PARTITION BY q.query_id
+                     ORDER BY list_dot_product(q.e, ct.cv) DESC, ct.cid DESC
+                   ) AS rn
+            FROM queries q, cent ct
+          ) WHERE rn <= {n_probe}
+        ),
+        scored AS (
+          SELECT p.query_id, a.vec_id AS neighbor_id,
+                 list_dot_product(a.e, p.e)
+                   / (sqrt(list_dot_product(a.e, a.e))
+                      * sqrt(list_dot_product(p.e, p.e))) AS sim
+          FROM assign a JOIN probes p ON a.ivf_list = p.probe
+        ),
+        ranked AS (
+          SELECT query_id, neighbor_id, sim,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY sim DESC, neighbor_id ASC)
+                   AS rank
+          FROM scored
+        )
+        SELECT query_id, neighbor_id, round(sim, 4) AS cosine_sim, rank
+        FROM ranked WHERE rank <= {k}
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     w16 = 800.0 / 16
     w32 = 800.0 / 32
@@ -1302,6 +1378,7 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_COS} >= 0.25
         """,
         "ann_lsh": _ann_lsh_sql(),
+        "ann_ivf": _ann_ivf_sql(),
         "embedding_dedup_clusters": f"""
             WITH RECURSIVE pairs AS (
               SELECT a.vec_id AS id_a, b.vec_id AS id_b

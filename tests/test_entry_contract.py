@@ -11,14 +11,13 @@ import __spark_entry__ as em
 def test_oracle_keys_subset_of_queries():
     qs, os_ = em.queries(), em.oracle_sql()
     assert set(os_) <= set(qs)
-    # only partial-probe IVF is rows-only (output depends on where the
-    # driver-trained k-means centroids land — not SQL-expressible);
-    # every other entry carries a DuckDB oracle: minhash/simhash via
-    # hash_fn="md5", ann_lsh via literal-plane SQL twin, IVF machinery
-    # via the full-probe==exact invariant, seq_* via the committed
-    # fixture parquet
+    # EVERY query carries a DuckDB oracle: minhash/simhash via
+    # hash_fn="md5", ann_lsh via literal-plane SQL twins, ann_ivf via
+    # the committed quantizer artifact (centroids as SQL literals),
+    # seq_* via the committed fixture parquet, clustering via recursive
+    # CTEs
     rows_only = set(qs) - set(os_)
-    assert rows_only == {"ann_ivf"}
+    assert rows_only == set()
 
 
 def test_entry_runs(spark):
