@@ -1649,6 +1649,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, coalesce(CAST(source AS VARCHAR), 'null') AS observed
             FROM documents WHERE source NOT IN ({_SRC_LIST}) OR source IS NULL
         """,
-        # dedup_minhash_lsh / dedup_simhash / ann_lsh / ann_ivf:
-        # xxhash64- or kmeans-seeded — rows-only check by design.
+        # Every queries() entry above carries a DuckDB oracle — zero
+        # rows-only entries (test_entry_contract asserts this).
     }

@@ -291,7 +291,9 @@ def sample_frames(
             for _, row in pdf.iterrows():
                 if row["kind"] != "video":
                     continue
-                dur = int(row["duration_ms"] or 0)
+                # nullable int arrives in pandas as float NaN (truthy!)
+                # — `or 0` doesn't guard it and int(NaN) raises
+                dur = 0 if pd.isna(row["duration_ms"]) else int(row["duration_ms"])
                 payload = bytes(row["payload"]) if row["payload"] is not None else b""
                 n = min(max(dur // every_ms, 0) + 1, max_frames)
                 for i in range(n):

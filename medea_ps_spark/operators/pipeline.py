@@ -137,14 +137,21 @@ def clean_corpus(
             F.sum(F.col("_was_redacted").cast("bigint")).alias("_n_redacted")
         )
     counts = flagged.agg(*aggs).collect()[0]
+
+    def _n(key: str) -> int:
+        # sum() over an empty input is NULL, not 0 — an empty corpus
+        # must yield a zeroed report, not a TypeError
+        v = counts[key]
+        return 0 if v is None else int(v)
+
     rep = CleaningReport(
-        input_rows=int(counts["n_input"]),
-        after_exact_dedup=int(counts["_keep_exact"]),
-        after_near_dedup=int(counts["_keep_near"]),
-        after_decontamination=int(counts["_keep_decontam"]),
-        after_quality=int(counts["_keep_quality"]),
-        after_language=int(counts["_keep_lang"]),
-        pii_redacted_rows=int(counts["_n_redacted"]) if scrub_pii else 0,
+        input_rows=_n("n_input"),
+        after_exact_dedup=_n("_keep_exact"),
+        after_near_dedup=_n("_keep_near"),
+        after_decontamination=_n("_keep_decontam"),
+        after_quality=_n("_keep_quality"),
+        after_language=_n("_keep_lang"),
+        pii_redacted_rows=_n("_n_redacted") if scrub_pii else 0,
     )
     rep.stages = [
         {"stage": "exact_dedup", "removed": rep.input_rows - rep.after_exact_dedup},

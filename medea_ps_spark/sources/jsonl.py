@@ -14,7 +14,7 @@ truncated writes, encoding damage) to a quarantine sink and keep going.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import StructType
+from pyspark.sql.types import StringType, StructField, StructType
 
 PARSED_COL = "parsed"
 QUARANTINED_COL = "quarantined"
@@ -37,10 +37,17 @@ def parse_json_column(
     field parses with that field null (schema presence is the
     validator's job, not the parser's)."""
     if isinstance(schema, StructType):
-        schema = schema.simpleString()[len("struct<"):-1].replace(":", " ")
+        # append the corrupt field to the StructType itself — a DDL
+        # round-trip via simpleString() mangles nested struct types and
+        # quoted field names
+        with_corrupt: StructType | str = StructType(
+            list(schema.fields) + [StructField(_CORRUPT, StringType())]
+        )
+    else:
+        with_corrupt = f"{schema}, {_CORRUPT} string"
     parsed = F.from_json(
         F.col(json_col),
-        f"{schema}, {_CORRUPT} string",
+        with_corrupt,
         {"columnNameOfCorruptRecord": _CORRUPT},
     )
     return df.withColumn(PARSED_COL, parsed).withColumn(
@@ -57,11 +64,22 @@ def split_quarantine(
     flattened alongside the original columns; quarantine keeps the raw
     string for forensics/replay."""
     p = parse_json_column(df, json_col, schema)
-    good = (
-        p.where(~F.col(QUARANTINED_COL))
-        .select("*", F.col(f"{PARSED_COL}.*"))
-        .drop(PARSED_COL, QUARANTINED_COL, _CORRUPT)
-    )
+    base_cols = [c for c in df.columns]
+    parsed_fields = [
+        f.name
+        for f in p.schema[PARSED_COL].dataType.fields
+        if f.name != _CORRUPT
+    ]
+    # explicit aliased flatten: a JSON field sharing a name with an
+    # input column would otherwise produce ambiguous duplicates —
+    # prefix such collisions with "parsed_"
+    flat = [
+        F.col(f"{PARSED_COL}.{name}").alias(
+            f"parsed_{name}" if name in base_cols else name
+        )
+        for name in parsed_fields
+    ]
+    good = p.where(~F.col(QUARANTINED_COL)).select(*base_cols, *flat)
     quarantine = p.where(F.col(QUARANTINED_COL)).drop(
         PARSED_COL, QUARANTINED_COL
     )

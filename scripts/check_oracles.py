@@ -89,9 +89,14 @@ def main(sf_dir: str) -> int:
                         mismatch = c
                         break
                 else:
+                    # round(6) then a tiny atol: values straddling a
+                    # 6-decimal rounding boundary by <1e-9 (summation
+                    # order) must not flag a false mismatch
                     av = a.astype(float).round(6)
                     bv = b.astype(float).round(6)
-                    eq = (av == bv) | (np.isnan(av) & np.isnan(bv))
+                    eq = np.isclose(av, bv, atol=5e-7, rtol=0.0) | (
+                        np.isnan(av) & np.isnan(bv)
+                    )
                     if not eq.all():
                         mismatch = c
                         break

@@ -120,3 +120,14 @@ def test_clean_corpus_pipeline(spark):
     assert 400 not in kept  # spanish removed
     assert set(range(20)) <= kept | {200, 201, 202, 203, 204}  # originals survive
     assert clean.columns == ["doc_id", "text"]
+
+
+def test_clean_corpus_empty_input(spark):
+    """Empty corpus => zeroed CleaningReport, not a TypeError (sum()
+    over zero rows is NULL)."""
+    df = spark.createDataFrame([], "doc_id bigint, text string")
+    clean, rep = clean_corpus(df, allowed_langs=["en"], near_dup=False)
+    assert rep.input_rows == 0
+    assert rep.after_exact_dedup == 0
+    assert rep.after_language == 0
+    assert clean.count() == 0

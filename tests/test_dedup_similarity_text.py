@@ -445,3 +445,27 @@ def test_png_header_decoder_in_feature_path(spark):
     ).select("media_id", F.lit("image").alias("kind"), "payload")
     with pytest.raises(Exception, match="not a PNG|ValueError"):
         MM.extract_features(bad, decoder=MM.png_header_decoder).collect()
+
+
+def test_sample_frames_null_duration_and_payload(spark):
+    """A video row with NULL duration_ms (pandas float NaN) or NULL
+    payload must not fail the batch — it samples a single frame at
+    t=0 (regression: int(NaN) raised ValueError)."""
+    rows = [
+        ("v_null_dur", "video", b"payloadbytes" * 4, None),
+        ("v_null_pay", "video", None, 3000),
+        ("v_ok", "video", b"abcdef" * 8, 2500),
+        ("img", "image", b"\x89PNG", 0),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id string, kind string, payload binary, duration_ms int"
+    )
+    frames = MM.sample_frames(media, every_ms=1000, max_frames=8).collect()
+    by_id = {}
+    for r in frames:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert len(by_id["v_null_dur"]) == 1  # dur=0 -> one frame at t=0
+    assert len(by_id["v_null_pay"]) == 4  # 0,1000,2000,3000
+    assert all(bytes(r["frame_bytes"]) == b"" for r in by_id["v_null_pay"])
+    assert len(by_id["v_ok"]) == 3
+    assert "img" not in by_id

@@ -102,3 +102,34 @@ def test_skew_report_orders_and_shares(spark):
     # plan shape: top-k must be TakeOrdered, not a global-window sort
     plan = skew_report(df, "user", top_n=2)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_split_quarantine_nested_schema_and_collision(spark):
+    """StructType schemas (incl. nested structs) must parse without a
+    DDL round-trip, and a JSON field colliding with an input column
+    flattens under a parsed_ prefix instead of an ambiguous duplicate."""
+    from pyspark.sql.types import (
+        DoubleType, StringType, StructField, StructType,
+    )
+
+    schema = StructType([
+        StructField("id", StringType()),          # collides with input col
+        StructField("meta", StructType([
+            StructField("k", DoubleType()),
+            StructField("tag", StringType()),
+        ])),
+    ])
+    rows = [
+        ("r1", '{"id": "inner1", "meta": {"k": 1.5, "tag": "a"}}'),
+        ("r2", '{"id": "inner2", "meta": {"k": 2.0}}'),
+        ("r3", "{bad"),
+    ]
+    df = spark.createDataFrame(rows, "id string, js string")
+    good, quar = split_quarantine(df, "js", schema)
+    assert set(good.columns) == {"id", "js", "parsed_id", "meta"}
+    g = {r["id"]: r for r in good.collect()}
+    assert set(g) == {"r1", "r2"}
+    assert g["r1"]["parsed_id"] == "inner1"
+    assert g["r1"]["meta"]["k"] == 1.5
+    assert g["r2"]["meta"]["tag"] is None
+    assert [r["id"] for r in quar.collect()] == ["r3"]
