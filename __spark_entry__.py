@@ -538,23 +538,23 @@ def q_array_ops_check(spark, sf_dir):
 
 
 def q_events_top_users(spark, sf_dir):
-    """Window top-k: top-2 users by total value per event type."""
-    from pyspark.sql import Window
+    """Aggregate top-k: top-2 users by total value per event type —
+    two-phase top-k (operators/topk.py) so the rank never funnels all
+    (event_type, user_id) totals through one task per event type."""
+    from medea_ps_spark.operators.topk import topk_per_group
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     totals = ev.groupBy("event_type", "user_id").agg(
         F.sum("value").alias("total_value")
     )
-    w = Window.partitionBy("event_type").orderBy(
-        F.desc("total_value"), F.asc("user_id")
-    )
-    return (
-        totals.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= 2)
-        .select(
-            "event_type", "user_id",
-            F.round("total_value", 2).alias("total_value"), "rank",
-        )
+    return topk_per_group(
+        totals,
+        ["event_type"],
+        [F.desc("total_value"), F.asc("user_id")],
+        2,
+    ).select(
+        "event_type", "user_id",
+        F.round("total_value", 2).alias("total_value"), "rank",
     )
 
 

@@ -20,6 +20,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.vector import cosine, dot
+from .topk import topk_per_group
 
 
 def train_centroids(
@@ -117,11 +118,9 @@ def ivf_topk(
         F.col(id_col).alias("neighbor_id"),
         cosine(F.col(vec_col), F.col("_qvec")).alias("cosine_sim"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("cosine_sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id_col, "neighbor_id", "cosine_sim", "rank")
-    )
+    return topk_per_group(
+        scored,
+        [query_id_col],
+        [F.desc("cosine_sim"), F.asc("neighbor_id")],
+        k,
+    ).select(query_id_col, "neighbor_id", "cosine_sim", "rank")

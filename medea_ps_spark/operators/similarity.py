@@ -19,6 +19,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 
 from ..functions.vector import cosine, dot, norm
+from .topk import topk_per_group
 
 
 def brute_force_topk(
@@ -29,9 +30,11 @@ def brute_force_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
 ) -> DataFrame:
-    """Exact top-k by cosine: broadcast-join queries × corpus, window
-    row_number per query. Corpus never shuffles; cost is one scan ×
-    |queries| dot products, all codegen'd."""
+    """Exact top-k by cosine: broadcast-join queries × corpus, then
+    two-phase top-k (operators/topk.py). Corpus never shuffles for the
+    scoring; the re-rank shuffles per-corpus-partition top-k survivors
+    (≤ k × n_partitions rows/query), never the full scored set through
+    one task."""
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qvec")
     )
@@ -40,14 +43,12 @@ def brute_force_topk(
         F.col(id_col).alias("neighbor_id"),
         cosine(F.col(vec_col), F.col("_qvec")).alias("cosine_sim"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("cosine_sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id_col, "neighbor_id", "cosine_sim", "rank")
-    )
+    return topk_per_group(
+        scored,
+        [query_id_col],
+        [F.desc("cosine_sim"), F.asc("neighbor_id")],
+        k,
+    ).select(query_id_col, "neighbor_id", "cosine_sim", "rank")
 
 
 def _hyperplanes(dim: int, n_planes: int, seed: int) -> np.ndarray:
@@ -114,14 +115,12 @@ def lsh_topk(
         F.col(id_col).alias("neighbor_id"),
         cosine(F.col(vec_col), F.col("_qvec")).alias("cosine_sim"),
     )
-    w = Window.partitionBy(query_id_col).orderBy(
-        F.desc("cosine_sim"), F.asc("neighbor_id")
-    )
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-        .select(query_id_col, "neighbor_id", "cosine_sim", "rank")
-    )
+    return topk_per_group(
+        scored,
+        [query_id_col],
+        [F.desc("cosine_sim"), F.asc("neighbor_id")],
+        k,
+    ).select(query_id_col, "neighbor_id", "cosine_sim", "rank")
 
 
 def _srp_on(vec, dim: int, n_planes: int, seed: int):

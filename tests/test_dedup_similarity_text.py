@@ -469,3 +469,34 @@ def test_sample_frames_null_duration_and_payload(spark):
     assert all(bytes(r["frame_bytes"]) == b"" for r in by_id["v_null_pay"])
     assert len(by_id["v_ok"]) == 3
     assert "img" not in by_id
+
+
+def test_topk_per_group_matches_single_window(spark):
+    """Two-phase top-k must be bit-identical to the naive single-window
+    rank, across many input partitions and with ties broken by the
+    unique id column."""
+    from pyspark.sql import Window
+
+    from medea_ps_spark.operators.topk import topk_per_group
+
+    rows = [
+        (f"g{i % 7}", f"id{i:04d}", float((i * 37) % 50))  # dup scores -> ties
+        for i in range(2000)
+    ]
+    df = spark.createDataFrame(
+        rows, "grp string, item string, score double"
+    ).repartition(13)
+    order = [F.desc("score"), F.asc("item")]
+    got = topk_per_group(df, ["grp"], order, 5).select(
+        "grp", "item", "score", "rank"
+    )
+    w = Window.partitionBy("grp").orderBy(*order)
+    want = (
+        df.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= 5)
+        .select("grp", "item", "score", "rank")
+    )
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+    # k larger than any group: everything survives, ranks still dense
+    all_got = topk_per_group(df, ["grp"], order, 10_000)
+    assert all_got.count() == 2000

@@ -198,3 +198,32 @@ def test_clean_corpus_audit_is_one_job(spark):
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert rep.input_rows > 0
     assert rep.after_language <= rep.after_quality <= rep.after_exact_dedup
+
+
+def test_ann_rerank_is_two_phase_topk(spark):
+    """VERDICT r2 item 1: the ANN re-rank must not hash-partition all
+    scored rows by query_id alone (one task per query). The two-phase
+    shape = a local window keyed by (query_id, _topk_pid) — the exchange
+    spreads (query, partition) pairs across all tasks — then the global
+    window over the ≤ k×partitions survivors."""
+    import re
+
+    for q in (em.q_ann_topk, em.q_ann_lsh, em.q_ann_ivf):
+        plan = plan_of(q(spark, SF))
+        assert plan.count("Window") >= 2, plan
+        # the first (deepest) exchange feeding a window must carry the
+        # salt column alongside query_id
+        parts = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+        salted = [p for p in parts if "_topk_pid" in p and "query_id" in p]
+        assert salted, plan
+        # and no exchange may partition the full scored set by query_id
+        # alone BELOW the salted one (string order: executed plans print
+        # top-down, the salted exchange appears after/below the final
+        # query_id-only exchange that ranks the survivors)
+        assert plan.rindex("_topk_pid") > plan.index("hashpartitioning"), plan
+
+
+def test_events_top_users_is_two_phase_topk(spark):
+    plan = plan_of(em.q_events_top_users(spark, SF))
+    assert plan.count("Window") >= 2, plan
+    assert "_topk_pid" in plan, plan
