@@ -145,10 +145,18 @@ def cosine_near_duplicates(
     n_tables: int = 4,
     seed: int = 42,
     exact: bool = False,
+    max_bucket_size: Optional[int] = 1000,
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs (id_a < id_b, sim ≥ threshold).
     exact=True does the full O(n²) self-join (small n / oracle parity);
-    default uses SRP buckets for candidates."""
+    default uses SRP buckets for candidates, each capped at
+    ``max_bucket_size`` rows (same guard as dedup's LSH): a degenerate
+    bucket — zero/near-zero embeddings, boilerplate-duplicated vectors —
+    would otherwise make the self-join quadratic in the bucket. Vectors
+    dropped by the cap are near-identical en masse; exact dedup on a
+    vector fingerprint is the right tool for those."""
+    from .dedup import _cap_buckets
+
     v = df.select(F.col(id_col), F.col(vec_col))
 
     def flat(joined) -> DataFrame:
@@ -168,6 +176,7 @@ def cosine_near_duplicates(
             bt = v.withColumn(
                 "_bucket", _srp_on(F.col(vec_col), dim, n_planes, seed + 1000 * t)
             )
+            bt = _cap_buckets(bt, ["_bucket"], max_bucket_size)
             a, b = bt.alias("a"), bt.alias("b")
             p = flat(
                 a.join(
