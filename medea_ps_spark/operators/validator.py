@@ -79,10 +79,12 @@ def unique_violations(
 ) -> DataFrame:
     """Exact duplicate detection. groupBy + count over the key column —
     a partial+final hash aggregate (map-side combine, one shuffle of the
-    distinct keys only), then the (small) duplicate-key set is broadcast
-    back to tag the offending rows. At 10^12 rows the dup set is the
-    violation population (~0.1%), which is the only data that crosses
-    the broadcast threshold decision."""
+    distinct keys only), then the duplicate-key set joins back to tag
+    the offending rows. The dup set is USUALLY tiny (~0.1% of keys) but
+    unbounded in the worst case — at 10^12 rows even 0.1% is 10^9 keys,
+    far past any broadcast threshold — so the join strategy is left to
+    AQE, which converts to broadcast at runtime when the measured size
+    allows and falls back to a shuffled join when it doesn't."""
     dups = (
         df.where(F.col(c.column).isNotNull())
         .groupBy(c.column)
@@ -90,7 +92,7 @@ def unique_violations(
         .where(F.col("_dup_count") > 1)
     )
     return (
-        df.join(F.broadcast(dups), on=c.column, how="inner")
+        df.join(dups, on=c.column, how="inner")
         .select(
             F.col(id_column),
             F.lit(c.name).alias("constraint_id"),
