@@ -786,6 +786,47 @@ def q_quantiles_tdigest(spark, sf_dir):
     )
 
 
+# quantile-drift reference profile: values chosen with wide margins
+# around the synthetic documents table's stable n_chars quantiles
+# (~176/300/419/490 at every SF) so the drift verdicts are robust to
+# t-digest estimation error: 0.25/0.5 are clear non-drifts, 0.75/0.9
+# clear drifts at rel_tolerance=0.25.
+_QDRIFT_REF = {0.25: 180.0, 0.5: 300.0, 0.75: 280.0, 0.9: 700.0}
+_QDRIFT_TOL = 0.25
+
+
+def q_quantile_drift(spark, sf_dir):
+    """drift.quantile_drift driver-visible (VERDICT r2 item 7): the
+    t-digest quantile-shift monitor runs against a fixed reference
+    profile, then each verdict row is CHECKED two ways — rank_ok ties
+    the t-digest estimate to the data (empirical rank within 0.02 of p),
+    and drifted must match the oracle's exact-quantile drift decision."""
+    from medea_ps_spark.operators.drift import quantile_drift
+
+    df = _docs(spark, sf_dir)
+    rep = quantile_drift(
+        df, _QDRIFT_REF, "n_chars", rel_tolerance=_QDRIFT_TOL
+    )
+    col = F.col("n_chars").cast("double")
+    items = sorted(_QDRIFT_REF.items())
+    aggs = [F.count(F.lit(1)).alias("n")]
+    for i, (p, _ref) in enumerate(items):
+        obs = rep["quantiles"][p]["observed"]
+        aggs.append(
+            F.sum((col <= F.lit(float(obs))).cast("bigint")).alias(f"le_{i}")
+        )
+    wide = df.agg(*aggs)
+    stack = ", ".join(
+        f"CAST({p}D AS DOUBLE), CAST({ref}D AS DOUBLE), "
+        f"abs(le_{i} / CAST(n AS DOUBLE) - {p}D) <= 0.02D, "
+        f"{str(rep['quantiles'][p]['rel_change'] > _QDRIFT_TOL).upper()}"
+        for i, (p, ref) in enumerate(items)
+    )
+    return wide.selectExpr(
+        f"stack({len(items)}, {stack}) AS (p, ref, rank_ok, drifted)"
+    )
+
+
 def q_seq_unique_violations(spark, sf_dir):
     """Table-level uniqueness over the sequence fixture (seeded ~0.1%
     duplicate doc_ids): groupBy dup-key extraction + broadcast-back."""
@@ -909,6 +950,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_canon": q_dedup_cluster_canon,
         "stats_bounds": q_stats_bounds,
         "quantiles_tdigest": q_quantiles_tdigest,
+        "quantile_drift": q_quantile_drift,
         "referential_salted": q_referential_salted,
     }
 
@@ -1648,6 +1690,19 @@ def oracle_sql() -> dict[str, str]:
         "referential_salted": f"""
             SELECT doc_id, coalesce(CAST(source AS VARCHAR), 'null') AS observed
             FROM documents WHERE source NOT IN ({_SRC_LIST}) OR source IS NULL
+        """,
+        "quantile_drift": """
+            WITH q AS (
+              SELECT quantile_cont(CAST(n_chars AS DOUBLE),
+                                   [0.25, 0.5, 0.75, 0.9]) AS qs
+              FROM documents
+            )
+            SELECT CAST(ps.p AS DOUBLE) AS p,
+                   CAST(ps.ref AS DOUBLE) AS ref,
+                   TRUE AS rank_ok,
+                   abs(qs[ps.i] - ps.ref) / abs(ps.ref) > 0.25 AS drifted
+            FROM q, (VALUES (1, 0.25, 180.0), (2, 0.5, 300.0),
+                            (3, 0.75, 280.0), (4, 0.9, 700.0)) ps(i, p, ref)
         """,
         # Every queries() entry above carries a DuckDB oracle — zero
         # rows-only entries (test_entry_contract asserts this).
