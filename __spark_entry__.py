@@ -827,6 +827,85 @@ def q_quantile_drift(spark, sf_dir):
     )
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition signals (dup word / dup bigram fraction)
+    per document — pure array expressions, no UDF."""
+    from medea_ps_spark.operators.textquality import repetition_features
+
+    df = repetition_features(_docs(spark, sf_dir))
+    return df.select(
+        "doc_id",
+        F.col("n_words").cast("bigint").alias("n_words"),
+        F.round("dup_word_frac", 6).alias("dup_word_frac"),
+        F.round("dup_bigram_frac", 6).alias("dup_bigram_frac"),
+    )
+
+
+# deterministic-sampling query params (shared with the oracles)
+_MIX_RATES = {"src0": 1.0, "src1": 0.5, "src2": 0.25}
+_MIX_DEFAULT = 0.1
+_MIX_SEED = 7
+_SPLIT_FRAC = 0.05
+_SPLIT_SEED = 11
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Deterministic domain-mixing sampler: per-source keep rates as a
+    pure hash predicate (md5-hex threshold — layout/cluster-size
+    independent, SQL-oracle-able). Verified by per-source count + key
+    checksum of the SELECTED SET, not just its size."""
+    from medea_ps_spark.operators.sampling import stratified_mixture
+
+    df = _docs(spark, sf_dir)
+    samp = stratified_mixture(
+        df, _MIX_RATES, "source", "doc_id",
+        seed=_MIX_SEED, default_rate=_MIX_DEFAULT,
+    )
+    return samp.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_sampled"),
+        F.sum("doc_id").alias("sum_doc_id"),
+    )
+
+
+def q_sample_split(spark, sf_dir):
+    """Deterministic train/holdout split: disjoint + exhaustive by
+    construction; the checksum proves both sides agree on MEMBERSHIP."""
+    from medea_ps_spark.operators.sampling import train_holdout_split
+
+    df = _docs(spark, sf_dir)
+    train, hold = train_holdout_split(
+        df, holdout_frac=_SPLIT_FRAC, key_col="doc_id", seed=_SPLIT_SEED
+    )
+    return (
+        train.select(F.lit("train").alias("split"), "doc_id")
+        .unionByName(hold.select(F.lit("holdout").alias("split"), "doc_id"))
+        .groupBy("split")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("doc_id").alias("sum_doc_id"),
+        )
+    )
+
+
+def q_seq_packing(spark, sf_dir):
+    """Concat-then-chunk sequence packing over the committed fixture:
+    md5-ordered shard-local running sums cut the token stream into
+    8192-token chunks; the rollup (per-chunk doc count + token count)
+    pins the full assignment against the DuckDB window oracle."""
+    from medea_ps_spark.operators.packing import pack_assignments, pack_summary
+
+    df = spark.read.parquet(SEQ_FIXTURE).where(
+        F.col("doc_id").isNotNull() & F.col("n_tok").isNotNull()
+    )
+    asg = pack_assignments(
+        df, max_tokens=8192, id_col="doc_id", n_tok_col="n_tok",
+        strat_cols=("source",), shard_chars=1, seed=42,
+    )
+    return pack_summary(asg, strat_cols=("source",)).select(
+        "source", "shard", "pack_id", "n_docs", "pack_tokens"
+    )
+
+
 def q_seq_unique_violations(spark, sf_dir):
     """Table-level uniqueness over the sequence fixture (seeded ~0.1%
     duplicate doc_ids): groupBy dup-key extraction + broadcast-back."""
@@ -951,6 +1030,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stats_bounds": q_stats_bounds,
         "quantiles_tdigest": q_quantiles_tdigest,
         "quantile_drift": q_quantile_drift,
+        "text_repetition": q_text_repetition,
+        "mixture_sample": q_mixture_sample,
+        "sample_split": q_sample_split,
+        "seq_packing": q_seq_packing,
         "referential_salted": q_referential_salted,
     }
 
@@ -1202,7 +1285,30 @@ def _ann_ivf_sql(n_probe: int = 3, k: int = 3) -> str:
     """
 
 
+def _sample_hex(seed: int) -> str:
+    """DuckDB twin of sampling.hash_bucket — md5 is bit-identical and
+    fixed-width hex compares lexicographically == numerically."""
+    return f"substr(md5(CAST(doc_id AS VARCHAR) || ':{seed}'), 1, 8)"
+
+
+def _mixture_pred_sql() -> str:
+    from medea_ps_spark.operators.sampling import rate_threshold
+
+    h = _sample_hex(_MIX_SEED)
+    cases = " ".join(
+        f"WHEN '{s}' THEN "
+        + ("TRUE" if r >= 1.0 else f"{h} < '{rate_threshold(r)}'")
+        for s, r in sorted(_MIX_RATES.items())
+    )
+    return (
+        f"CASE source {cases} "
+        f"ELSE {h} < '{rate_threshold(_MIX_DEFAULT)}' END"
+    )
+
+
 def oracle_sql() -> dict[str, str]:
+    from medea_ps_spark.operators.sampling import rate_threshold
+
     w16 = 800.0 / 16
     w32 = 800.0 / 32
     b16 = _BUCKET.format(w=w16, top=15)
@@ -1703,6 +1809,66 @@ def oracle_sql() -> dict[str, str]:
                    abs(qs[ps.i] - ps.ref) / abs(ps.ref) > 0.25 AS drifted
             FROM q, (VALUES (1, 0.25, 180.0), (2, 0.5, 300.0),
                             (3, 0.75, 280.0), (4, 0.9, 700.0)) ps(i, p, ref)
+        """,
+        "text_repetition": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim({_NORM})) = 0
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE string_split(trim({_NORM}), ' ') END AS toks
+              FROM documents
+            ), b AS (
+              SELECT doc_id, toks,
+                     list_transform(range(1, len(toks)),
+                                    i -> toks[i] || ' ' || toks[i+1]) AS bi
+              FROM t
+            )
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_words,
+                   round(CASE WHEN len(toks) = 0 THEN 0.0
+                         ELSE 1.0 - len(list_distinct(toks))
+                                    / CAST(len(toks) AS DOUBLE) END,
+                         6) AS dup_word_frac,
+                   round(CASE WHEN len(bi) = 0 THEN 0.0
+                         ELSE 1.0 - len(list_distinct(bi))
+                                    / CAST(len(bi) AS DOUBLE) END,
+                         6) AS dup_bigram_frac
+            FROM b
+        """,
+        "mixture_sample": f"""
+            SELECT source, count(*) AS n_sampled,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+            FROM documents
+            WHERE {_mixture_pred_sql()}
+            GROUP BY source
+        """,
+        "sample_split": f"""
+            SELECT CASE WHEN {_sample_hex(_SPLIT_SEED)}
+                             < '{{split_thresh}}'
+                        THEN 'holdout' ELSE 'train' END AS split,
+                   count(*) AS n_rows,
+                   CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
+            FROM documents GROUP BY 1
+        """.format(split_thresh=rate_threshold(_SPLIT_FRAC)),
+        "seq_packing": f"""
+            WITH base AS (
+              SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+                     md5(CAST(doc_id AS VARCHAR) || ':42') AS okey
+              FROM read_parquet('{SEQ_FIXTURE}')
+              WHERE doc_id IS NOT NULL AND n_tok IS NOT NULL
+            ), asg AS (
+              SELECT source, substr(okey, 1, 1) AS shard, n_tok,
+                     CAST(floor((SUM(n_tok) OVER w - n_tok) / 8192.0)
+                          AS BIGINT) AS pack_id
+              FROM base
+              WINDOW w AS (PARTITION BY source, substr(okey, 1, 1)
+                           ORDER BY okey, n_tok
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND CURRENT ROW)
+            )
+            SELECT source, shard, pack_id, count(*) AS n_docs,
+                   CAST(sum(n_tok) AS BIGINT) AS pack_tokens
+            FROM asg GROUP BY 1, 2, 3
         """,
         # Every queries() entry above carries a DuckDB oracle — zero
         # rows-only entries (test_entry_contract asserts this).

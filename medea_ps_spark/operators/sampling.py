@@ -1,0 +1,95 @@
+"""Deterministic hash sampling — reproducible corpus subsetting and
+domain mixing for training-data pipelines.
+
+``df.sample()`` draws from a per-partition RNG: the selected set changes
+with partition layout, cluster size, and retry history, which breaks
+resumable runs (a re-run after a checkpoint restore must sample the SAME
+rows) and ablation comparisons. Hash sampling instead makes the keep
+decision a PURE FUNCTION of (key, seed): a row is kept iff the first 8
+hex chars of md5(key ':' seed) fall below rate · 16^8. That gives:
+
+* layout-independence — same sample on 1 executor or 1000;
+* nested subsets — rate 0.1 is a strict subset of rate 0.2 at the same
+  seed (threshold grows monotonically), enabling scaling-law ladders;
+* disjoint splits — train/holdout from complementary threshold ranges.
+
+The comparison stays on FIXED-WIDTH lowercase hex strings: md5 is
+bit-identical in Spark and DuckDB, and on equal-length hex strings
+lexicographic order == numeric order, so the whole operator is
+SQL-oracle-able (same trick as dedup.py's md5 LSH mode). Everything is
+a single codegen'd projection — no shuffle, no UDF, no RNG state.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, Optional, Tuple
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+_HEX_SPAN = 16 ** 8  # first 8 md5 hex chars = 32 uniform bits
+
+
+def rate_threshold(rate: float) -> str:
+    """8-char lowercase hex threshold for a keep-rate in [0, 1]."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    return format(min(int(rate * _HEX_SPAN), _HEX_SPAN - 1) if rate < 1.0
+                  else _HEX_SPAN - 1, "08x")
+
+
+def hash_bucket(key: Column, seed: int = 42) -> Column:
+    """The row's 8-hex-char sample coordinate (fixed width, lowercase)."""
+    return F.substring(
+        F.md5(F.concat_ws(":", key.cast("string"), F.lit(str(seed)))), 1, 8
+    )
+
+
+def keep_predicate(key: Column, rate: float, seed: int = 42) -> Column:
+    """Boolean keep column: pure function of (key, seed, rate)."""
+    if rate >= 1.0:
+        return F.lit(True)
+    if rate <= 0.0:
+        return F.lit(False)
+    return hash_bucket(key, seed) < F.lit(rate_threshold(rate))
+
+
+def sample_deterministic(
+    df: DataFrame, rate: float, key_col: str = "doc_id", seed: int = 42
+) -> DataFrame:
+    """Keep a deterministic ~rate fraction keyed on ``key_col``."""
+    return df.where(keep_predicate(F.col(key_col), rate, seed))
+
+
+def stratified_mixture(
+    df: DataFrame,
+    rates: Dict[str, float],
+    strat_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 42,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Domain-mixing sampler: per-stratum keep rates (e.g. up-weight
+    wiki, down-weight web) as ONE case-expression predicate — no
+    per-stratum scans, no shuffle; the Zipf-skewed stratum column never
+    becomes a join or aggregation key."""
+    pred = keep_predicate(F.col(key_col), default_rate, seed)
+    for value, rate in sorted(rates.items()):
+        pred = F.when(
+            F.col(strat_col) == value,
+            keep_predicate(F.col(key_col), rate, seed),
+        ).otherwise(pred)
+    return df.where(pred)
+
+
+def train_holdout_split(
+    df: DataFrame,
+    holdout_frac: float = 0.01,
+    key_col: str = "doc_id",
+    seed: int = 42,
+) -> Tuple[DataFrame, DataFrame]:
+    """Disjoint, exhaustive, deterministic split: holdout = buckets
+    below the threshold, train = the rest. Safe for decontamination-
+    style holdouts because membership is stable under re-runs, resumes,
+    and repartitioning."""
+    pred = keep_predicate(F.col(key_col), holdout_frac, seed)
+    return df.where(~pred), df.where(pred)

@@ -93,3 +93,30 @@ def rolling_hash_fingerprint(
     sh = word_shingles(F.col(text_col), k=window)
     minhash = F.array_min(F.transform(sh, lambda s: F.xxhash64(s)))
     return df.select(F.col(id_col), minhash.alias("content_fingerprint"))
+
+
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals — the standard filters for
+    template/boilerplate-generated text in a training corpus:
+
+    * ``dup_word_frac``  — 1 − |distinct words| / |words|
+    * ``dup_bigram_frac`` — 1 − |distinct word bigrams| / |bigrams|
+
+    High values mean the document is dominated by repeated phrases
+    (keyword stuffing, scraped menus, log spam). Pure array expressions
+    over the normalized whitespace tokenization (functions/text.py) —
+    codegen'd, no UDF, no shuffle."""
+    from ..functions.text import normalize, word_shingles
+
+    toks = whitespace_tokens(normalize(F.col(text_col)))
+    n = F.size(toks)
+    bi = word_shingles(F.col(text_col), k=2)
+    nb = F.size(bi)
+    dup_frac = lambda arr, cnt: F.when(cnt == 0, F.lit(0.0)).otherwise(
+        1.0 - F.size(F.array_distinct(arr)).cast("double") / cnt
+    )
+    return (
+        df.withColumn("n_words", n)
+        .withColumn("dup_word_frac", dup_frac(toks, n))
+        .withColumn("dup_bigram_frac", dup_frac(bi, nb))
+    )

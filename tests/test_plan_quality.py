@@ -258,3 +258,35 @@ def test_events_top_users_is_two_phase_topk(spark):
     plan = plan_of(em.q_events_top_users(spark, SF))
     assert plan.count("Window") >= 2, plan
     assert "_topk_pid" in plan, plan
+
+
+def test_sampling_is_shuffle_free_filter(spark):
+    """Hash sampling must stay a pure codegen'd scan+filter: no
+    exchange, no UDF — the keep decision is an md5 expression."""
+    from medea_ps_spark.operators.sampling import stratified_mixture
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    samp = stratified_mixture(
+        docs, {"src0": 1.0, "src1": 0.5}, default_rate=0.1
+    )
+    plan = plan_of(samp)
+    assert "Exchange" not in plan, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "*(" in plan  # whole-stage codegen
+
+
+def test_packing_is_single_shuffle(spark):
+    """pack_assignments = one exchange (the running-sum window's own
+    (strat, shard) partitioning); tokens never shuffle, only
+    (id, n_tok, key) tuples."""
+    from medea_ps_spark.operators.packing import pack_assignments
+    from medea_ps_spark.sources.synthetic import sequences
+
+    seq = sequences(spark, 5000, seed=13)
+    asg = pack_assignments(seq.where(F.col("doc_id").isNotNull()
+                                     & F.col("n_tok").isNotNull()),
+                           max_tokens=4096)
+    plan = plan_of(asg)
+    assert plan.count("Exchange") == 1, plan
+    # the window's exchange must be keyed by (source, shard)
+    assert "hashpartitioning(source" in plan, plan

@@ -1,0 +1,172 @@
+"""Deterministic hash sampling + sequence packing + repetition signals.
+
+These are training-data-pipeline primitives whose whole value is
+determinism under distribution: the SAME rows must be selected / the
+SAME chunk layout produced regardless of partition layout, cluster
+size, or rerun — properties df.sample() and RNG-based packing lack.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from medea_ps_spark.operators.packing import pack_assignments, pack_summary
+from medea_ps_spark.operators.sampling import (
+    rate_threshold,
+    sample_deterministic,
+    stratified_mixture,
+    train_holdout_split,
+)
+
+
+def _docs(spark, n=4000):
+    return spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("src"), (F.col("id") % 4).cast("string")).alias("source"),
+        ((F.xxhash64("id") % 400 + 400) % 400 + 16).alias("n_tok"),
+    )
+
+
+def test_sample_rate_and_determinism_under_layout(spark):
+    df = _docs(spark)
+    s1 = {r["doc_id"] for r in sample_deterministic(df, 0.3, seed=5).collect()}
+    # repartitioning must not change membership (df.sample would)
+    s2 = {
+        r["doc_id"]
+        for r in sample_deterministic(df.repartition(17), 0.3, seed=5).collect()
+    }
+    assert s1 == s2
+    assert abs(len(s1) / 4000 - 0.3) < 0.03
+    # different seed -> different (but valid-size) sample
+    s3 = {r["doc_id"] for r in sample_deterministic(df, 0.3, seed=6).collect()}
+    assert s3 != s1
+
+
+def test_sample_nested_subsets(spark):
+    """rate 0.1 ⊂ rate 0.3 ⊂ rate 0.6 at the same seed — the property
+    scaling-law ladders need."""
+    df = _docs(spark)
+    sets = [
+        {r["doc_id"] for r in sample_deterministic(df, rate, seed=9).collect()}
+        for rate in (0.1, 0.3, 0.6)
+    ]
+    assert sets[0] <= sets[1] <= sets[2]
+
+
+def test_sample_edge_rates_and_threshold(spark):
+    df = _docs(spark, 100)
+    assert sample_deterministic(df, 1.0).count() == 100
+    assert sample_deterministic(df, 0.0).count() == 0
+    with pytest.raises(ValueError):
+        rate_threshold(1.5)
+    assert rate_threshold(0.5) == format(int(0.5 * 16 ** 8), "08x")
+
+
+def test_stratified_mixture_rates(spark):
+    df = _docs(spark, 8000)
+    samp = stratified_mixture(
+        df, {"src0": 1.0, "src1": 0.5, "src3": 0.0},
+        strat_col="source", default_rate=0.25, seed=3,
+    )
+    got = {
+        r["source"]: r["n"]
+        for r in samp.groupBy("source").agg(F.count("*").alias("n")).collect()
+    }
+    assert got["src0"] == 2000  # rate 1.0 keeps everything
+    assert abs(got["src1"] / 2000 - 0.5) < 0.06
+    assert "src3" not in got  # rate 0.0 keeps nothing
+    assert abs(got["src2"] / 2000 - 0.25) < 0.06  # default rate
+
+
+def test_train_holdout_split_disjoint_exhaustive(spark):
+    df = _docs(spark)
+    train, hold = train_holdout_split(df, holdout_frac=0.1, seed=21)
+    t = {r["doc_id"] for r in train.collect()}
+    h = {r["doc_id"] for r in hold.collect()}
+    assert not (t & h)
+    assert len(t) + len(h) == 4000
+    assert abs(len(h) / 4000 - 0.1) < 0.03
+    # stable membership on rerun (decontamination safety)
+    _, hold2 = train_holdout_split(df.repartition(7), holdout_frac=0.1, seed=21)
+    assert {r["doc_id"] for r in hold2.collect()} == h
+
+
+def test_pack_assignments_chunk_invariants(spark):
+    df = _docs(spark, 3000)
+    asg = pack_assignments(df, max_tokens=4096, shard_chars=1).cache()
+    rows = asg.collect()
+    # every doc assigned exactly once
+    assert len(rows) == 3000
+    # reconstruct each shard's stream: offsets must tile the token
+    # stream contiguously in order (no gaps, no overlaps)
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault((r["source"], r["shard"]), []).append(r)
+    for key, docs in by_shard.items():
+        docs.sort(key=lambda r: r["pack_id"] * 4096 + r["pack_offset"])
+        pos = 0
+        for d in docs:
+            start = d["pack_id"] * 4096 + d["pack_offset"]
+            assert start == pos, (key, d)
+            end = pos + d["n_tok"] - 1
+            assert d["n_chunks_spanned"] == end // 4096 - d["pack_id"] + 1
+            pos += d["n_tok"]
+    # layout independence: same assignment after a repartition
+    asg2 = pack_assignments(df.repartition(13), max_tokens=4096, shard_chars=1)
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, asg2.collect()))
+    asg.unpersist()
+
+
+def test_pack_summary_conserves_tokens(spark):
+    df = _docs(spark, 2000)
+    asg = pack_assignments(df, max_tokens=2048)
+    summ = pack_summary(asg)
+    total = df.agg(F.sum("n_tok")).collect()[0][0]
+    got = summ.agg(
+        F.sum("pack_tokens").alias("tok"), F.sum("n_docs").alias("docs")
+    ).collect()[0]
+    assert got["tok"] == total
+    assert got["docs"] == 2000
+    # chunks are full by construction: every pack except each shard's
+    # last must span to (or past) the chunk boundary
+    per_shard_max = {
+        (r["source"], r["shard"]): r["m"]
+        for r in summ.groupBy("source", "shard")
+        .agg(F.max("pack_id").alias("m"))
+        .collect()
+    }
+    for r in summ.collect():
+        if r["pack_id"] < per_shard_max[(r["source"], r["shard"])]:
+            assert r["pack_tokens"] >= 1  # non-empty interior chunk
+
+
+def test_pack_rejects_bad_max_tokens(spark):
+    with pytest.raises(ValueError):
+        pack_assignments(_docs(spark, 10), max_tokens=0)
+
+
+def test_repetition_features_hand_computed(spark):
+    from medea_ps_spark.operators.textquality import repetition_features
+
+    rows = [
+        ("all_same", "spam spam spam spam"),
+        ("all_distinct", "alpha beta gamma delta"),
+        ("half", "red blue red blue"),
+        ("empty", "   "),
+        ("one", "word"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r["doc_id"]: r for r in repetition_features(df).collect()}
+    assert got["all_same"]["dup_word_frac"] == pytest.approx(0.75)
+    # bigrams: [spam spam] x3 -> 1 distinct of 3
+    assert got["all_same"]["dup_bigram_frac"] == pytest.approx(2 / 3)
+    assert got["all_distinct"]["dup_word_frac"] == 0.0
+    assert got["all_distinct"]["dup_bigram_frac"] == 0.0
+    # red blue red blue: 2 distinct of 4 words; bigrams [red blue,
+    # blue red, red blue] -> 2 distinct of 3
+    assert got["half"]["dup_word_frac"] == pytest.approx(0.5)
+    assert got["half"]["dup_bigram_frac"] == pytest.approx(1 / 3)
+    assert got["empty"]["n_words"] == 0
+    assert got["empty"]["dup_word_frac"] == 0.0
+    assert got["one"]["dup_bigram_frac"] == 0.0
