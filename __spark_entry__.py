@@ -906,6 +906,31 @@ def q_seq_packing(spark, sf_dir):
     )
 
 
+def q_events_asof(spark, sf_dir):
+    """Point-in-time join: each click event gets the value of the
+    user's latest view event at-or-before the click — the as-of
+    operator Spark lacks natively, verified against DuckDB's built-in
+    ASOF JOIN."""
+    from medea_ps_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    out = asof_join(
+        clicks, views, ["user_id"], "ts", ["value"],
+        suffix="_view", tiebreak_cols=["event_id"],
+    )
+    return out.select(
+        "event_id", "user_id",
+        F.round("value", 2).alias("value"),
+        F.round("value_view", 2).alias("view_value"),
+    )
+
+
 def q_seq_unique_violations(spark, sf_dir):
     """Table-level uniqueness over the sequence fixture (seeded ~0.1%
     duplicate doc_ids): groupBy dup-key extraction + broadcast-back."""
@@ -1034,6 +1059,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "sample_split": q_sample_split,
         "seq_packing": q_seq_packing,
+        "events_asof": q_events_asof,
         "referential_salted": q_referential_salted,
     }
 
@@ -1850,6 +1876,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
             FROM documents GROUP BY 1
         """.format(split_thresh=rate_threshold(_SPLIT_FRAC)),
+        "events_asof": """
+            WITH clicks AS (
+              SELECT event_id, user_id, ts, value FROM events
+              WHERE event_type = 'click'
+            ), views AS (
+              SELECT user_id, ts, value FROM events
+              WHERE event_type = 'view'
+            )
+            SELECT c.event_id, c.user_id,
+                   round(c.value, 2) AS value,
+                   round(v.value, 2) AS view_value
+            FROM clicks c ASOF LEFT JOIN views v
+              ON c.user_id = v.user_id AND c.ts >= v.ts
+        """,
         "seq_packing": f"""
             WITH base AS (
               SELECT source, doc_id, CAST(n_tok AS BIGINT) AS n_tok,

@@ -30,10 +30,11 @@ _INTERNAL_COLS = (
     "stopword_ratio", "mean_token_len", "quality_ok", "lang_guess",
     "n_contaminated_shingles", "contaminated",
     "pii_email", "pii_phone", "pii_ipv4", "pii_ssn",
+    "n_words", "dup_word_frac", "dup_bigram_frac",
 )
 _FLAG_COLS = (
     "_keep_exact", "_keep_near", "_keep_decontam", "_keep_quality",
-    "_keep_lang",
+    "_keep_rep", "_keep_lang",
 )
 
 
@@ -44,6 +45,7 @@ class CleaningReport:
     after_near_dedup: int = 0
     after_decontamination: int = 0
     after_quality: int = 0
+    after_repetition: int = 0
     after_language: int = 0
     pii_redacted_rows: int = 0
     stages: List[Dict] = field(default_factory=list)
@@ -60,12 +62,16 @@ def clean_corpus(
     eval_df: Optional[DataFrame] = None,
     contamination_k: int = 8,
     scrub_pii: bool = False,
+    max_dup_word_frac: Optional[float] = None,
+    max_dup_bigram_frac: Optional[float] = None,
 ) -> tuple:
     """Returns (clean_df, CleaningReport). Stage survivorship is encoded
     as cumulative flag columns; the report is ONE aggregation job.
 
     Optional stages: ``eval_df`` drops training docs sharing any
     ``contamination_k``-gram with the benchmark set (decontamination);
+    ``max_dup_word_frac`` / ``max_dup_bigram_frac`` drop repetition-
+    dominated docs (Gopher-style boilerplate filters, pure expressions);
     ``scrub_pii`` redacts email/phone/IP/SSN in the surviving text and
     reports how many rows were touched."""
     w = Window.partitionBy(fingerprint(F.col(text_col))).orderBy(F.col(id_col))
@@ -109,16 +115,31 @@ def clean_corpus(
         "_keep_quality", F.col("_keep_decontam") & F.col("quality_ok")
     )
 
+    if max_dup_word_frac is not None or max_dup_bigram_frac is not None:
+        from .textquality import repetition_features
+
+        flagged = repetition_features(flagged, text_col)
+        rep_ok = F.lit(True)
+        if max_dup_word_frac is not None:
+            rep_ok = rep_ok & (F.col("dup_word_frac") <= max_dup_word_frac)
+        if max_dup_bigram_frac is not None:
+            rep_ok = rep_ok & (F.col("dup_bigram_frac") <= max_dup_bigram_frac)
+        flagged = flagged.withColumn(
+            "_keep_rep", F.col("_keep_quality") & rep_ok
+        )
+    else:
+        flagged = flagged.withColumn("_keep_rep", F.col("_keep_quality"))
+
     if allowed_langs:
         col = lang_col
         if col is None:
             flagged = language_scores(flagged, text_col)
             col = "lang_guess"
         flagged = flagged.withColumn(
-            "_keep_lang", F.col("_keep_quality") & F.col(col).isin(allowed_langs)
+            "_keep_lang", F.col("_keep_rep") & F.col(col).isin(allowed_langs)
         )
     else:
-        flagged = flagged.withColumn("_keep_lang", F.col("_keep_quality"))
+        flagged = flagged.withColumn("_keep_lang", F.col("_keep_rep"))
 
     if scrub_pii:
         from ..functions.redact import redact_pii
@@ -150,6 +171,7 @@ def clean_corpus(
         after_near_dedup=_n("_keep_near"),
         after_decontamination=_n("_keep_decontam"),
         after_quality=_n("_keep_quality"),
+        after_repetition=_n("_keep_rep"),
         after_language=_n("_keep_lang"),
         pii_redacted_rows=_n("_n_redacted") if scrub_pii else 0,
     )
@@ -160,7 +182,10 @@ def clean_corpus(
          "removed": rep.after_near_dedup - rep.after_decontamination},
         {"stage": "quality",
          "removed": rep.after_decontamination - rep.after_quality},
-        {"stage": "language", "removed": rep.after_quality - rep.after_language},
+        {"stage": "repetition",
+         "removed": rep.after_quality - rep.after_repetition},
+        {"stage": "language",
+         "removed": rep.after_repetition - rep.after_language},
     ]
     if scrub_pii:
         rep.stages.append(

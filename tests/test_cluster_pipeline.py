@@ -131,3 +131,29 @@ def test_clean_corpus_empty_input(spark):
     assert rep.after_exact_dedup == 0
     assert rep.after_language == 0
     assert clean.count() == 0
+
+
+def test_clean_corpus_repetition_stage(spark):
+    """Opt-in Gopher repetition filter drops boilerplate-dominated docs
+    between the quality and language stages, and the audit counts it."""
+    good = [
+        (i, "a genuinely varied sentence about topic number %d with many "
+            "distinct interesting words like %s and %s for the test" % (
+                i, f"alpha{i}", f"beta{i}"))
+        for i in range(10)
+    ]
+    spammy = [(100, ("buy now " * 40).strip()),
+              (101, ("spam spam wonderful spam " * 15).strip())]
+    df = spark.createDataFrame(good + spammy, "doc_id bigint, text string")
+    clean, rep = clean_corpus(
+        df, near_dup=False, max_dup_word_frac=0.5,
+    )
+    kept = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    assert not kept & {100, 101}
+    assert set(range(10)) <= kept
+    stages = {s["stage"]: s for s in rep.stages}
+    assert stages["repetition"]["removed"] == 2
+    assert rep.after_repetition == rep.after_quality - 2
+    # default (no thresholds) leaves the stage as a no-op
+    _, rep2 = clean_corpus(df, near_dup=False)
+    assert {s["stage"]: s for s in rep2.stages}["repetition"]["removed"] == 0

@@ -170,3 +170,53 @@ def test_repetition_features_hand_computed(spark):
     assert got["empty"]["n_words"] == 0
     assert got["empty"]["dup_word_frac"] == 0.0
     assert got["one"]["dup_bigram_frac"] == 0.0
+
+
+def test_asof_join_hand_computed(spark):
+    from medea_ps_spark.operators.asof import asof_join
+
+    rights = spark.createDataFrame(
+        [("u1", 10, 1.0, 100), ("u1", 20, 2.0, 101), ("u1", 20, 3.0, 102),
+         ("u2", 5, 9.0, 103)],
+        "k string, t bigint, v double, rid bigint",
+    )
+    lefts = spark.createDataFrame(
+        [("u1", 9, "a"), ("u1", 10, "b"), ("u1", 25, "c"),
+         ("u2", 4, "d"), ("u3", 99, "e")],
+        "k string, t bigint, tag string",
+    )
+    out = asof_join(
+        lefts, rights, ["k"], "t", ["v"], tiebreak_cols=["rid"]
+    )
+    got = {r["tag"]: r["v_asof"] for r in out.collect()}
+    assert got["a"] is None        # nothing at-or-before t=9
+    assert got["b"] == 1.0         # inclusive: right@10 visible at t=10
+    assert got["c"] == 3.0         # tie at t=20 -> larger rid wins
+    assert got["d"] is None
+    assert got["e"] is None        # key with no right rows at all
+    assert out.count() == 5        # left join: every left row survives
+
+    strict = asof_join(
+        lefts, rights, ["k"], "t", ["v"], strict=True,
+        tiebreak_cols=["rid"],
+    )
+    gs = {r["tag"]: r["v_asof"] for r in strict.collect()}
+    assert gs["b"] is None         # strict: right@10 NOT visible at t=10
+    assert gs["c"] == 3.0
+
+
+def test_asof_join_single_shuffle_no_join_node(spark):
+    """The as-of implementation must be union + one keyed window - no
+    range-join candidate explosion, no join operator at all."""
+    from medea_ps_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value")
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "value", "event_id")
+    out = asof_join(clicks, views, ["user_id"], "ts", ["value"],
+                    tiebreak_cols=["event_id"])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
