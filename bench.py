@@ -174,7 +174,12 @@ def _host_cpu_probe(reps: int = 2) -> dict:
     VM-oversubscribed — measured ceiling fluctuates ~0.67-0.96 — so the
     raw Spark efficiency is reported alongside this ceiling and a
     normalized ratio. On a real cluster (the north rule's N vs 4N
-    executors) the ceiling is ~1.0 and raw efficiency is the number."""
+    executors) the ceiling is ~1.0 and raw efficiency is the number.
+
+    NOTE this is the OPTIMISTIC ceiling: sha256 is cache-resident. The
+    scan-heavy Spark job also competes for the VM's single shared
+    memory system, whose own 8->32 scaling (_host_membw_probe) is far
+    worse — so normalizing by the CPU probe UNDERSTATES the engine."""
     import multiprocessing as mp
 
     times = {8: [], 32: []}
@@ -192,6 +197,38 @@ def _host_cpu_probe(reps: int = 2) -> dict:
     }
 
 
+def _membw_work(_):
+    """Module-level for pickling: stream ~1.6 GB through memory."""
+    import numpy as np
+
+    a = np.ones(25_000_000, dtype=np.float64)
+    s = 0.0
+    for _ in range(8):
+        s += a.sum()
+    return s
+
+
+def _host_membw_probe(reps: int = 2) -> dict:
+    """Memory-BANDWIDTH 8-vs-32-process probe (large-array streaming
+    sums): this VM's memory system saturates near 8 processes —
+    measured 8->32 efficiency 0.10-0.26 — so ANY bandwidth-bound work
+    cannot scale past ~8 cores here, while 4 separate executor nodes
+    would have 4x the bandwidth. Recorded as context: the Spark job's
+    raw 8->32 efficiency sits far ABOVE this ceiling."""
+    import multiprocessing as mp
+
+    effs = []
+    for _ in range(reps):
+        t = {}
+        for n in (8, 32):
+            t0 = time.time()
+            with mp.Pool(n) as p:
+                p.map(_membw_work, range(64))
+            t[n] = time.time() - t0
+        effs.append((t[8] / t[32]) / 4.0)
+    return {"host_membw_eff_8_to_32": round(max(effs), 3)}
+
+
 def bench_queries(spark) -> dict:
     import __spark_entry__ as em
 
@@ -202,6 +239,9 @@ def bench_queries(spark) -> dict:
         "ann_topk", "ann_lsh", "text_quality",
         "lineitem_pricing", "orders_by_segment",
         "stats_bounds", "events_user_skew", "seq_validation",
+        # round-3 operators
+        "events_asof", "seq_packing", "mixture_sample",
+        "text_repetition", "quantile_drift",
     ]
     qs = em.queries()
     out = {}
@@ -348,7 +388,17 @@ def main():
     )
     times = {r: [] for r in runs}
     probe_times = {8: [], 32: []}
+    probe_effs = []  # per-WINDOW ratios; the ceiling is their median
     warmed = set()
+
+    def _ceiling() -> float:
+        # median of per-window probe ratios: min(p8)/min(p32) across
+        # DIFFERENT windows pairs a lucky 8p with a lucky 32p and can
+        # swing the ceiling 0.86->0.89 run to run; the median of
+        # same-window ratios is stable against single-window extremes
+        import statistics
+
+        return statistics.median(probe_effs) if probe_effs else 0.0
     for _ in range(reps):
         for cores, rows in runs:
             spark = _session(cores)
@@ -365,6 +415,7 @@ def main():
             p = _host_cpu_probe(reps=1)
             probe_times[8].append(p["host_probe_8p_sec"])
             probe_times[32].append(p["host_probe_32p_sec"])
+            probe_effs.append(p["host_probe_eff_8_to_32"])
     head_rows = SEQ_ROWS_BIG if RUN_SCALING else SEQ_ROWS
 
     # -- adaptive evidence recovery (VERDICT r2 item 4): the north rule
@@ -381,7 +432,7 @@ def main():
                      / min(times[(small, SEQ_ROWS)])) / (small / 2)
             raw_b = (min(times[(small, SEQ_ROWS_BIG)])
                      / min(times[(CPUS, SEQ_ROWS_BIG)])) / (CPUS / small)
-            ceil = (min(probe_times[8]) / min(probe_times[32])) / 4.0
+            ceil = _ceiling()
             norm_b = raw_b / ceil if ceil > 0 else raw_b
             need = []
             if eff_a < target:
@@ -401,6 +452,7 @@ def main():
                 p = _host_cpu_probe(reps=1)
                 probe_times[8].append(p["host_probe_8p_sec"])
                 probe_times[32].append(p["host_probe_32p_sec"])
+                probe_effs.append(p["host_probe_eff_8_to_32"])
     t_big = min(times[(CPUS, head_rows)])
     rows_per_sec = head_rows / t_big
     results["seq_validate_rows"] = round(t_big, 3)
@@ -417,12 +469,16 @@ def main():
         scaling[f"efficiency_{small}_to_{CPUS}"] = round(
             (min(times[(small, SEQ_ROWS_BIG)]) / t_big) / (CPUS / small), 3
         )
-        # host ceiling measured in the same noise window (see docstring)
+        # host ceiling measured in the same noise windows (see docstring)
         scaling["host_probe_8p_sec"] = round(min(probe_times[8]), 2)
         scaling["host_probe_32p_sec"] = round(min(probe_times[32]), 2)
-        scaling["host_probe_eff_8_to_32"] = round(
-            (min(probe_times[8]) / min(probe_times[32])) / 4.0, 3
-        )
+        scaling["host_probe_effs"] = probe_effs
+        scaling["host_probe_eff_8_to_32"] = round(_ceiling(), 3)
+        # bandwidth context: this VM's memory system saturates near 8
+        # processes (streaming probe eff 0.10-0.26), so the CPU probe is
+        # the OPTIMISTIC ceiling for the scan-heavy job; 4 separate
+        # executors would have 4x the bandwidth
+        scaling.update(_host_membw_probe(reps=2))
         raw = scaling[f"efficiency_{small}_to_{CPUS}"]
         ceil = scaling["host_probe_eff_8_to_32"]
         scaling[f"efficiency_{small}_to_{CPUS}_normalized"] = round(

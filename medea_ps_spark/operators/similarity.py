@@ -93,22 +93,27 @@ def lsh_topk(
 ) -> DataFrame:
     """ANN: candidates = corpus rows sharing an SRP bucket with the query
     in ANY of n_tables independent tables; exact cosine re-rank on the
-    (much smaller) candidate set. Recall grows with n_tables; the
-    bucket join shuffles only (bucket, id) pairs."""
-    c_b = corpus
-    q_b = queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
-    cand = None
-    for t in range(n_tables):
-        cb = c_b.withColumn(
-            "_bucket", srp_signature(c_b, vec_col, dim, n_planes, seed + 1000 * t)
-        ).select(id_col, vec_col, "_bucket")
-        qb = q_b.withColumn(
-            "_bucket", _srp_on(F.col("_qvec"), dim, n_planes, seed + 1000 * t)
-        )
-        pairs = cb.join(F.broadcast(qb), "_bucket").select(
-            query_id_col, id_col, vec_col, "_qvec"
-        )
-        cand = pairs if cand is None else cand.unionByName(pairs)
+    (much smaller) candidate set. Recall grows with n_tables. ALL table
+    buckets are computed in one projection and exploded to (t, b) rows,
+    so the corpus is scanned ONCE and all tables resolve through a
+    single broadcast join — not n_tables scan+join+union branches."""
+    cb = corpus.select(
+        F.col(id_col),
+        F.col(vec_col),
+        F.explode(
+            _srp_table_pairs(F.col(vec_col), dim, n_planes, n_tables, seed)
+        ).alias("_tb"),
+    ).select(id_col, vec_col, F.col("_tb.t").alias("_t"), F.col("_tb.b").alias("_b"))
+    qb = queries.select(
+        F.col(query_id_col),
+        F.col(vec_col).alias("_qvec"),
+        F.explode(
+            _srp_table_pairs(F.col(vec_col), dim, n_planes, n_tables, seed)
+        ).alias("_tb"),
+    ).select(query_id_col, "_qvec", F.col("_tb.t").alias("_t"), F.col("_tb.b").alias("_b"))
+    cand = cb.join(F.broadcast(qb), ["_t", "_b"]).select(
+        query_id_col, id_col, vec_col, "_qvec"
+    )
     cand = cand.dropDuplicates([query_id_col, id_col])
     scored = cand.select(
         F.col(query_id_col),
@@ -133,6 +138,22 @@ def _srp_on(vec, dim: int, n_planes: int, seed: int):
             proj > 0, F.shiftleft(F.lit(1).cast("bigint"), p)
         ).otherwise(F.lit(0).cast("bigint"))
     return bucket
+
+
+def _srp_table_pairs(vec, dim: int, n_planes: int, n_tables: int, seed: int):
+    """array<struct<t,b>> — the row's bucket in EVERY table, computed in
+    one projection so the source is scanned ONCE and the per-table
+    bucket join becomes a single join keyed by (t, b). (The loop-and-
+    union alternative scans the corpus n_tables times.)"""
+    return F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                _srp_on(vec, dim, n_planes, seed + 1000 * t).alias("b"),
+            )
+            for t in range(n_tables)
+        ]
+    )
 
 
 def cosine_near_duplicates(
@@ -171,22 +192,29 @@ def cosine_near_duplicates(
         a, b = v.alias("a"), v.alias("b")
         pairs = flat(a.join(b, F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
     else:
-        cand = None
-        for t in range(n_tables):
-            bt = v.withColumn(
-                "_bucket", _srp_on(F.col(vec_col), dim, n_planes, seed + 1000 * t)
+        # one scan: every table's bucket exploded to (t, b) rows, capped
+        # per (table, bucket), then ONE bucket-local self-join
+        bt = v.select(
+            F.col(id_col),
+            F.col(vec_col),
+            F.explode(
+                _srp_table_pairs(F.col(vec_col), dim, n_planes, n_tables, seed)
+            ).alias("_tb"),
+        ).select(
+            id_col, vec_col,
+            F.col("_tb.t").alias("_t"), F.col("_tb.b").alias("_b"),
+        )
+        bt = _cap_buckets(bt, ["_t", "_b"], max_bucket_size)
+        a, b = bt.alias("a"), bt.alias("b")
+        p = flat(
+            a.join(
+                b,
+                (F.col("a._t") == F.col("b._t"))
+                & (F.col("a._b") == F.col("b._b"))
+                & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
             )
-            bt = _cap_buckets(bt, ["_bucket"], max_bucket_size)
-            a, b = bt.alias("a"), bt.alias("b")
-            p = flat(
-                a.join(
-                    b,
-                    (F.col("a._bucket") == F.col("b._bucket"))
-                    & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-                )
-            )
-            cand = p if cand is None else cand.unionByName(p)
-        pairs = cand.dropDuplicates(["id_a", "id_b"])
+        )
+        pairs = p.dropDuplicates(["id_a", "id_b"])
     out = pairs.select(
         "id_a", "id_b", cosine(F.col("_va"), F.col("_vb")).alias("cosine_sim")
     )

@@ -290,3 +290,22 @@ def test_packing_is_single_shuffle(spark):
     assert plan.count("Exchange") == 1, plan
     # the window's exchange must be keyed by (source, shard)
     assert "hashpartitioning(source" in plan, plan
+
+
+def test_lsh_family_single_scan(spark):
+    """Multi-table SRP-LSH must compute every table's bucket in one
+    projection (exploded (t,b) rows), not loop scan+join+union per
+    table: the ANN query reads the embeddings file exactly twice
+    (corpus side + query side), the near-dup self-join exactly twice
+    (the two join sides) — not 2x or 8x that."""
+    from medea_ps_spark.operators.similarity import cosine_near_duplicates
+
+    spark.catalog.clearCache()
+    plan = plan_of(em.q_ann_lsh(spark, SF))
+    assert plan.count("FileScan parquet") == 2, plan
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").withColumn(
+        "embedding", F.col("embedding").cast("array<double>")
+    )
+    nd = cosine_near_duplicates(emb, threshold=0.9, n_planes=4, n_tables=4)
+    assert plan_of(nd).count("FileScan parquet") == 2, plan_of(nd)
