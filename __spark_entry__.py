@@ -4,10 +4,12 @@
 ``queries()`` — one entry per operator family from SURVEY.md §2
 (constraint validation, stats, uniqueness, referential, histogram,
 drift, Medea-language validation, dedup family, ANN, text analysis,
-plus general agg/join breadth). ``oracle_sql()`` — matching DuckDB SQL;
-omitted only for hash-seeded operators DuckDB cannot reproduce
-(xxhash64 minhash/simhash, synthetic-sequence fixtures) — those get the
-driver's rows-only check.
+sampling/packing/as-of, plus general agg/join breadth).
+``oracle_sql()`` — matching DuckDB SQL for EVERY entry (50/50): the
+hash-seeded operators are made SQL-reproducible via md5 modes, literal
+SRP planes, the committed IVF quantizer artifact, fixed-width-hex
+sampling thresholds, window running sums, and DuckDB's native ASOF
+JOIN.
 
 Column names and value roundings are aligned pairwise between the Spark
 plans and the SQL so the driver's order-insensitive value-hash matches.

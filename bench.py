@@ -249,12 +249,11 @@ def bench_queries(spark) -> dict:
         t0 = time.time()
         n = qs[name](spark, SF_DIR).count()
         best = time.time() - t0
-        # min-of-3 for cheap queries (VERDICT r2 item 4: the sub-2s
-        # queries are the ones host noise can multiply 3x, and re-runs
-        # are nearly free); min-of-2 for mid-range ones (a burst can
-        # triple a 6s LSH query and a single shot records it); only
-        # the truly long tail stays single-shot
-        tries = 2 if best < 3.0 else (1 if best < 15.0 else 0)
+        # min-of-3 for every query under 15s (VERDICT r2 item 4, then
+        # observed again in r3: a storm window can multiply a 5s LSH
+        # query 8x, and with only two attempts BOTH can land in the
+        # same burst); only the long tail stays single-shot
+        tries = 2 if best < 15.0 else 0
         for _ in range(tries):
             t0 = time.time()
             n = qs[name](spark, SF_DIR).count()
