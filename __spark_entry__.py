@@ -933,6 +933,19 @@ def q_events_asof(spark, sf_dir):
     )
 
 
+def q_events_sessions(spark, sf_dir):
+    """Gap-based sessionization (30-min inactivity) + per-session
+    rollup — lag-flag + running-sum windows, bit-identical in DuckDB."""
+    from medea_ps_spark.operators.sessions import session_stats, sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sess = sessionize(ev, gap_seconds=1800, key_cols=("user_id",))
+    return session_stats(sess, key_cols=("user_id",)).select(
+        "user_id", "session_id", "start_us", "duration_us", "n_events",
+        F.round("value_sum", 2).alias("value_sum"),
+    )
+
+
 def q_seq_unique_violations(spark, sf_dir):
     """Table-level uniqueness over the sequence fixture (seeded ~0.1%
     duplicate doc_ids): groupBy dup-key extraction + broadcast-back."""
@@ -1062,6 +1075,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split": q_sample_split,
         "seq_packing": q_seq_packing,
         "events_asof": q_events_asof,
+        "events_sessions": q_events_sessions,
         "referential_salted": q_referential_salted,
     }
 
@@ -1878,6 +1892,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
             FROM documents GROUP BY 1
         """.format(split_thresh=rate_threshold(_SPLIT_FRAC)),
+        "events_sessions": """
+            WITH flagged AS (
+              SELECT user_id, value, epoch_us(ts) AS ts_us,
+                     CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                               OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                  >= 1800 * 1000000
+                          THEN 1 ELSE 0 END AS new_session
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))
+            ), numbered AS (
+              SELECT user_id, value, ts_us,
+                     CAST(SUM(new_session) OVER (
+                       PARTITION BY user_id ORDER BY ts_us
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                     ) - 1 AS BIGINT) AS session_id
+              FROM flagged
+            )
+            SELECT user_id, session_id,
+                   min(ts_us) AS start_us,
+                   max(ts_us) - min(ts_us) AS duration_us,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS value_sum
+            FROM numbered GROUP BY 1, 2
+        """,
         "events_asof": """
             WITH clicks AS (
               SELECT event_id, user_id, ts, value FROM events

@@ -220,3 +220,43 @@ def test_asof_join_single_shuffle_no_join_node(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan, plan
     assert plan.count("Exchange") == 1, plan
+
+
+def test_sessionize_hand_computed(spark):
+    from medea_ps_spark.operators.sessions import session_stats, sessionize
+
+    rows = [
+        ("u1", 0.0, 1.0), ("u1", 100.0, 2.0),      # session 0
+        ("u1", 2000.0, 4.0),                        # gap 1900 >= 1800 -> s1
+        ("u1", 3799.0, 8.0),                        # gap 1799 < 1800 -> s1
+        ("u1", 5599.0, 16.0),                       # gap 1800 == gap -> s2
+        ("u2", 50.0, 32.0),                         # own key -> s0
+    ]
+    df = spark.createDataFrame(rows, "user_id string, t double, value double")
+    sess = sessionize(df, gap_seconds=1800, key_cols=("user_id",), time_col="t")
+    got = {(r["user_id"], int(r["t"])): r["session_id"] for r in sess.collect()}
+    assert got == {
+        ("u1", 0): 0, ("u1", 100): 0, ("u1", 2000): 1,
+        ("u1", 3799): 1, ("u1", 5599): 2, ("u2", 50): 0,
+    }
+    stats = {
+        (r["user_id"], r["session_id"]): r
+        for r in session_stats(sess, key_cols=("user_id",)).collect()
+    }
+    s1 = stats[("u1", 1)]
+    assert s1["n_events"] == 2
+    assert s1["duration_us"] == int(1799 * 1e6)
+    assert s1["value_sum"] == 12.0
+    assert stats[("u1", 2)]["duration_us"] == 0
+
+
+def test_sessionize_single_exchange(spark):
+    """lag-flag and running-sum windows share (key, time-order): the
+    plan must contain exactly one Exchange (and one Sort)."""
+    from medea_ps_spark.operators.sessions import session_stats, sessionize
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = session_stats(sessionize(ev, 1800))
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Sort ") <= 2, plan
