@@ -933,9 +933,11 @@ def q_events_asof(spark, sf_dir):
     )
 
 
-def q_events_sessions(spark, sf_dir):
+def q_events_sessions_detail(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity) + per-session
-    rollup — lag-flag + running-sum windows, bit-identical in DuckDB."""
+    rollup via operators/sessions.py — one row per session with exact
+    integer-µs bounds/durations (the summary-level twin is
+    ``events_sessions``, kept from round 2)."""
     from medea_ps_spark.operators.sessions import session_stats, sessionize
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -1075,7 +1077,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_split": q_sample_split,
         "seq_packing": q_seq_packing,
         "events_asof": q_events_asof,
-        "events_sessions": q_events_sessions,
+        "events_sessions_detail": q_events_sessions_detail,
         "referential_salted": q_referential_salted,
     }
 
@@ -1892,7 +1894,7 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
             FROM documents GROUP BY 1
         """.format(split_thresh=rate_threshold(_SPLIT_FRAC)),
-        "events_sessions": """
+        "events_sessions_detail": """
             WITH flagged AS (
               SELECT user_id, value, epoch_us(ts) AS ts_us,
                      CASE WHEN lag(epoch_us(ts)) OVER w IS NULL

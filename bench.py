@@ -240,7 +240,7 @@ def bench_queries(spark) -> dict:
         "lineitem_pricing", "orders_by_segment",
         "stats_bounds", "events_user_skew", "seq_validation",
         # round-3 operators
-        "events_asof", "events_sessions", "seq_packing", "mixture_sample",
+        "events_asof", "events_sessions_detail", "seq_packing", "mixture_sample",
         "text_repetition", "quantile_drift",
     ]
     qs = em.queries()
