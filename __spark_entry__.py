@@ -1899,7 +1899,7 @@ def oracle_sql() -> dict[str, str]:
               SELECT user_id, value, epoch_us(ts) AS ts_us,
                      CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
                                OR epoch_us(ts) - lag(epoch_us(ts)) OVER w
-                                  >= 1800 * 1000000
+                                  > 1800 * 1000000
                           THEN 1 ELSE 0 END AS new_session
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts))

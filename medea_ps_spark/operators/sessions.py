@@ -58,17 +58,19 @@ def sessionize(
 ) -> DataFrame:
     """Adds ``session_id`` (0-based per key, ordered by time) and
     ``_ts_us``: a new session starts at the first event and at every
-    event ≥ gap after its predecessor. Ties on time are ordered
-    deterministically only if the caller's time values are unique per
-    key (true for microsecond event logs); equal-time events always
-    share a session either way."""
+    event MORE than ``gap_seconds`` after its predecessor (an event at
+    exactly +gap still joins — the same boundary rule as Spark's native
+    ``session_window``, so batch and streaming sessionization agree).
+    Ties on time are ordered deterministically only if the caller's
+    time values are unique per key (true for microsecond event logs);
+    equal-time events always share a session either way."""
     key_cols = list(key_cols)
     out = df.withColumn(TS_US_COL, _micros(df, time_col))
     w = Window.partitionBy(*key_cols).orderBy(TS_US_COL)
     prev = F.lag(F.col(TS_US_COL)).over(w)
     new_session = (
         prev.isNull()
-        | (F.col(TS_US_COL) - prev >= gap_seconds * 1_000_000)
+        | (F.col(TS_US_COL) - prev > gap_seconds * 1_000_000)
     ).cast("bigint")
     run = Window.partitionBy(*key_cols).orderBy(TS_US_COL).rowsBetween(
         Window.unboundedPreceding, Window.currentRow

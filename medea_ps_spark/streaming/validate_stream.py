@@ -139,3 +139,39 @@ def run_foreach_batch(
     if trigger_once:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def streaming_session_stats(
+    stream_df: DataFrame,
+    gap: str = "30 minutes",
+    key_cols=("user_id",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+    value_col: str = "value",
+) -> DataFrame:
+    """Streaming sessionization via Spark's native session_window
+    (dynamic gap-merged windows + watermark state eviction) — the
+    streaming twin of operators/sessions.sessionize: two events join a
+    session iff they are <= gap apart (session_window's inclusive
+    boundary, which the batch operator matches), so per-key session
+    partitions agree between the two on the same data. Late rows
+    beyond the watermark are dropped instead of reopening closed
+    sessions."""
+    keys = [F.session_window(F.col(ts_col), gap).alias("session")] + [
+        F.col(c) for c in key_cols
+    ]
+    return (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(*keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(value_col).alias("value_sum"),
+        )
+        .select(
+            *key_cols,
+            F.col("session.start").alias("session_start"),
+            F.col("session.end").alias("session_end"),
+            "n_events",
+            "value_sum",
+        )
+    )

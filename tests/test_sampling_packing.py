@@ -227,9 +227,9 @@ def test_sessionize_hand_computed(spark):
 
     rows = [
         ("u1", 0.0, 1.0), ("u1", 100.0, 2.0),      # session 0
-        ("u1", 2000.0, 4.0),                        # gap 1900 >= 1800 -> s1
-        ("u1", 3799.0, 8.0),                        # gap 1799 < 1800 -> s1
-        ("u1", 5599.0, 16.0),                       # gap 1800 == gap -> s2
+        ("u1", 2000.0, 4.0),                        # gap 1900 > 1800 -> s1
+        ("u1", 3800.0, 8.0),                        # gap 1800 == gap -> s1 (inclusive, matches session_window)
+        ("u1", 5601.0, 16.0),                       # gap 1801 > 1800 -> s2
         ("u2", 50.0, 32.0),                         # own key -> s0
     ]
     df = spark.createDataFrame(rows, "user_id string, t double, value double")
@@ -237,7 +237,7 @@ def test_sessionize_hand_computed(spark):
     got = {(r["user_id"], int(r["t"])): r["session_id"] for r in sess.collect()}
     assert got == {
         ("u1", 0): 0, ("u1", 100): 0, ("u1", 2000): 1,
-        ("u1", 3799): 1, ("u1", 5599): 2, ("u2", 50): 0,
+        ("u1", 3800): 1, ("u1", 5601): 2, ("u2", 50): 0,
     }
     stats = {
         (r["user_id"], r["session_id"]): r
@@ -245,7 +245,7 @@ def test_sessionize_hand_computed(spark):
     }
     s1 = stats[("u1", 1)]
     assert s1["n_events"] == 2
-    assert s1["duration_us"] == int(1799 * 1e6)
+    assert s1["duration_us"] == int(1800 * 1e6)
     assert s1["value_sum"] == 12.0
     assert stats[("u1", 2)]["duration_us"] == 0
 

@@ -203,3 +203,53 @@ def test_windowed_violation_counts_streaming(spark, stream_input, tmp_path):
     assert sum(r["n_rows"] for r in rows) == 2_000
     assert sum(r["n_failed"] for r in rows) > 0
     assert len(rows) >= 2  # multiple windows over the 600s spread
+
+
+def test_streaming_sessions_match_batch(spark, tmp_path):
+    """Native session_window streaming sessionization must produce the
+    SAME per-user session partitioning as the batch operator (same gap
+    semantics: a new session starts at diff >= gap)."""
+    from medea_ps_spark.operators.sessions import sessionize
+
+    rows = []
+    base = 1_700_000_000
+    # u1: events at 0s,100s then 2000s (gap 1900 >= 1800) then 3799s
+    for off in (0, 100, 2000, 3799):
+        rows.append(("u1", base + off, 1.0))
+    # u2: single event; u3: two events exactly gap apart -> ONE session
+    # (inclusive boundary in both the native session_window and the
+    # batch operator)
+    rows.append(("u2", base + 50, 2.0))
+    rows += [("u3", base, 4.0), ("u3", base + 1800, 8.0)]
+    df = spark.createDataFrame(rows, "user_id string, epoch bigint, value double").select(
+        "user_id", F.timestamp_seconds("epoch").alias("ts"), "value"
+    )
+    p = str(tmp_path / "sess_in")
+    df.write.mode("overwrite").parquet(p)
+
+    from medea_ps_spark.streaming.validate_stream import streaming_session_stats
+
+    stream = spark.readStream.schema(df.schema).parquet(p)
+    out = streaming_session_stats(stream, gap="30 minutes", watermark="2 hours")
+    opath = str(tmp_path / "sess_out")
+    q = (
+        out.writeStream.format("memory").queryName("sess_mem")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.table("sess_mem").collect()
+    stream_sessions = {}
+    for r in got:
+        stream_sessions.setdefault(r["user_id"], []).append(
+            (r["n_events"], r["value_sum"])
+        )
+    batch = sessionize(df, gap_seconds=1800, key_cols=("user_id",))
+    batch_sessions = {}
+    for r in batch.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("value").alias("v")
+    ).collect():
+        batch_sessions.setdefault(r["user_id"], []).append((r["n"], r["v"]))
+    for u in ("u1", "u2", "u3"):
+        assert sorted(stream_sessions[u]) == sorted(batch_sessions[u]), u
+    assert len(stream_sessions["u1"]) == 2
+    assert len(stream_sessions["u3"]) == 1
