@@ -948,6 +948,66 @@ def q_events_sessions_detail(spark, sf_dir):
     )
 
 
+# fixed literal maintenance windows over January 2024 (epoch micros) —
+# identical VALUES list on the oracle side, no engine time functions
+_RJ_BASE = 1_704_067_200  # 2024-01-01T00:00:00Z
+_RJ_WINDOWS = [
+    (
+        i,
+        (_RJ_BASE + i * 3 * 86_400) * 1_000_000,
+        (_RJ_BASE + i * 3 * 86_400 + (i + 1) * 6 * 3_600) * 1_000_000,
+    )
+    for i in range(10)
+]
+
+
+def q_events_in_windows(spark, sf_dir):
+    """Bucketed range join (operators/rangejoin.py): events matched to
+    the literal maintenance windows containing their timestamp — an
+    equi-join on quantized buckets + exact containment filter, never a
+    BroadcastNestedLoopJoin. Oracle: plain BETWEEN join."""
+    from medea_ps_spark.operators.rangejoin import point_in_interval_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        "event_id", "user_id", "value",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("ts_us"),
+    )
+    iv = spark.createDataFrame(
+        _RJ_WINDOWS, "window_id int, start_us bigint, end_us bigint"
+    )
+    j = point_in_interval_join(
+        ev, iv, "ts_us", "start_us", "end_us",
+        bucket_width=6 * 3_600 * 1_000_000,
+    )
+    return j.groupBy("window_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("n_users"),
+        F.round(F.sum("value"), 2).alias("value_sum"),
+    )
+
+
+def q_kmv_distinct(spark, sf_dir):
+    """KMV distinct sketch (operators/sketches.py): deterministic
+    md5-based k-minimum-values estimator — the sketch state AND the
+    estimate reproduce exactly in DuckDB (HLL registers cannot), and
+    the row checks the estimate against the exact distinct count."""
+    from medea_ps_spark.operators.sketches import kmv_distinct_estimate
+
+    df = _docs(spark, sf_dir)
+    est = kmv_distinct_estimate(df, "doc_id", k=256)
+    exact = df.where(F.col("doc_id").isNotNull()).agg(
+        F.countDistinct("doc_id").alias("exact_distinct")
+    )
+    return est.crossJoin(exact).select(
+        "k", "kth_hex", "est_distinct", "exact_distinct",
+        (
+            F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+            / F.col("exact_distinct")
+            < 0.2
+        ).alias("rel_ok"),
+    )
+
+
 def q_seq_unique_violations(spark, sf_dir):
     """Table-level uniqueness over the sequence fixture (seeded ~0.1%
     duplicate doc_ids): groupBy dup-key extraction + broadcast-back."""
@@ -1078,6 +1138,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_packing": q_seq_packing,
         "events_asof": q_events_asof,
         "events_sessions_detail": q_events_sessions_detail,
+        "events_in_windows": q_events_in_windows,
+        "kmv_distinct": q_kmv_distinct,
         "referential_salted": q_referential_salted,
     }
 
@@ -1894,6 +1956,48 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
             FROM documents GROUP BY 1
         """.format(split_thresh=rate_threshold(_SPLIT_FRAC)),
+        "events_in_windows": """
+            WITH w(window_id, start_us, end_us) AS (VALUES {windows}),
+            e AS (
+              SELECT event_id, user_id, value, epoch_us(ts) AS ts_us
+              FROM events
+            )
+            SELECT w.window_id,
+                   count(*) AS n_events,
+                   count(DISTINCT e.user_id) AS n_users,
+                   round(sum(e.value), 2) AS value_sum
+            FROM e JOIN w
+              ON e.ts_us BETWEEN w.start_us AND w.end_us
+            GROUP BY 1
+        """.format(
+            windows=", ".join(f"({i}, {s}, {e})" for i, s, e in _RJ_WINDOWS)
+        ),
+        "kmv_distinct": """
+            WITH h AS (
+              SELECT DISTINCT
+                     substr(md5(CAST(doc_id AS VARCHAR) || ':kmv'), 1, 8)
+                       AS hx
+              FROM documents WHERE doc_id IS NOT NULL
+            ), m AS (
+              SELECT hx FROM h ORDER BY hx LIMIT 256
+            ), kth AS (
+              SELECT CAST(count(*) AS BIGINT) AS k, max(hx) AS kth_hex
+              FROM m
+            ), ex AS (
+              SELECT CAST(count(DISTINCT doc_id) AS BIGINT)
+                       AS exact_distinct
+              FROM documents WHERE doc_id IS NOT NULL
+            )
+            SELECT k, kth_hex,
+                   round((k - 1) / (('0x' || kth_hex)::BIGINT
+                                    / 4294967296.0), 4) AS est_distinct,
+                   exact_distinct,
+                   abs(round((k - 1) / (('0x' || kth_hex)::BIGINT
+                                        / 4294967296.0), 4)
+                       - exact_distinct)
+                     / exact_distinct < 0.2 AS rel_ok
+            FROM kth, ex
+        """,
         "events_sessions_detail": """
             WITH flagged AS (
               SELECT user_id, value, epoch_us(ts) AS ts_us,

@@ -241,7 +241,8 @@ def bench_queries(spark) -> dict:
         "stats_bounds", "events_user_skew", "seq_validation",
         # round-3 operators
         "events_asof", "events_sessions_detail", "seq_packing", "mixture_sample",
-        "text_repetition", "quantile_drift",
+        "text_repetition", "quantile_drift", "events_in_windows",
+        "kmv_distinct",
     ]
     qs = em.queries()
     out = {}

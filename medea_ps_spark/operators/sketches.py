@@ -215,3 +215,52 @@ def quantiles(
     rows = tdigest_by_partition(df, column, partition_col, compression).collect()
     d = merge_tdigests([r["tdigest"] for r in rows], compression)
     return [(q, d.quantile(q)) for q in qs]
+
+
+_KMV_SPAN = float(16 ** 8)  # first 8 md5 hex chars = 32 uniform bits
+
+
+def kmv_minima(
+    df: DataFrame, column: str, k: int = 256, salt: str = "kmv"
+) -> DataFrame:
+    """The KMV (k-minimum-values) sketch itself: the k smallest DISTINCT
+    8-hex-char md5 hashes of the column. Deterministic (md5 of value +
+    salt — no RNG), so two sketches of overlapping data MERGE by
+    unioning rows and re-taking the k minima, and the whole estimator
+    is SQL-oracle-able (unlike HLL registers). The plan is a map-side
+    partial dedup + TakeOrdered(k): only distinct hashes shuffle."""
+    hx = F.substring(
+        F.md5(
+            F.concat_ws(":", F.col(column).cast("string"), F.lit(salt))
+        ),
+        1,
+        8,
+    )
+    return (
+        df.where(F.col(column).isNotNull())
+        .select(hx.alias("hx"))
+        .distinct()
+        .orderBy("hx")
+        .limit(k)
+    )
+
+
+def kmv_distinct_estimate(
+    df: DataFrame, column: str, k: int = 256, salt: str = "kmv"
+) -> DataFrame:
+    """One-row distinct-count estimate from the KMV sketch:
+    est = (k-1) / frac(kth_min), rel. std error ≈ 1/sqrt(k-2) (~6% at
+    k=256). Complements approx_count_distinct (HLL): KMV's state is
+    plain rows — mergeable across tables/partitions with a union, and
+    exactly reproducible by any engine with md5. Returns
+    (k, kth_hex, est_distinct)."""
+    mins = kmv_minima(df, column, k, salt)
+    kth = mins.agg(
+        F.count(F.lit(1)).alias("k"), F.max("hx").alias("kth_hex")
+    )
+    frac = F.conv(F.col("kth_hex"), 16, 10).cast("double") / F.lit(_KMV_SPAN)
+    return kth.select(
+        "k",
+        "kth_hex",
+        F.round((F.col("k") - 1) / frac, 4).alias("est_distinct"),
+    )

@@ -260,3 +260,78 @@ def test_sessionize_single_exchange(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1, plan
     assert plan.count("Sort ") <= 2, plan
+
+
+def test_range_join_hand_computed(spark):
+    from medea_ps_spark.operators.rangejoin import point_in_interval_join
+
+    points = spark.createDataFrame(
+        [("a", 5), ("b", 10), ("c", 99), ("d", 100), ("e", 250), ("f", 999)],
+        "pid string, t bigint",
+    )
+    intervals = spark.createDataFrame(
+        [(1, 0, 10), (2, 10, 99), (3, 90, 260)],
+        "iid int, s bigint, e bigint",
+    )
+    got = {
+        (r["pid"], r["iid"])
+        for r in point_in_interval_join(
+            points, intervals, "t", "s", "e", bucket_width=7
+        ).collect()
+    }
+    # inclusive both ends; b lands in two intervals; f in none
+    assert got == {
+        ("a", 1), ("b", 1), ("b", 2), ("c", 2), ("c", 3), ("d", 3), ("e", 3),
+    }
+    # keyed variant: same axis values but different key -> no match
+    pk = points.withColumn("k", F.lit("x"))
+    ik = intervals.withColumn("k", F.lit("y"))
+    assert point_in_interval_join(
+        pk, ik, "t", "s", "e", bucket_width=7, keys=["k"]
+    ).count() == 0
+
+
+def test_range_join_no_nested_loop_and_guard(spark):
+    import pytest as _pytest
+
+    from medea_ps_spark.operators.rangejoin import point_in_interval_join
+
+    points = spark.range(1000).select(F.col("id").alias("t"))
+    intervals = spark.createDataFrame(
+        [(1, 0, 100), (2, 500, 900)], "iid int, s bigint, e bigint"
+    )
+    j = point_in_interval_join(points, intervals, "t", "s", "e", 64)
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert j.count() == 101 + 401
+    # degenerate interval guard fails loudly instead of exploding
+    wide = spark.createDataFrame([(1, 0, 10_000_000)], "iid int, s bigint, e bigint")
+    with _pytest.raises(Exception, match="buckets"):
+        point_in_interval_join(
+            points, wide, "t", "s", "e", 64, max_buckets_per_interval=100
+        ).count()
+
+
+def test_kmv_distinct_accuracy_and_merge(spark):
+    from medea_ps_spark.operators.sketches import (
+        kmv_distinct_estimate,
+        kmv_minima,
+    )
+
+    df = spark.range(20_000).select(
+        (F.col("id") % 5_000).cast("string").alias("v")  # 5000 distinct, 4x dup
+    )
+    est = kmv_distinct_estimate(df, "v", k=256).collect()[0]
+    assert est["k"] == 256
+    assert abs(est["est_distinct"] - 5_000) / 5_000 < 0.2
+    # mergeability: union of two halves' sketches == sketch of the union
+    a = df.where(F.col("v").cast("int") < 2_500)
+    b = df.where(F.col("v").cast("int") >= 1_000)  # overlapping halves
+    merged = (
+        kmv_minima(a, "v", 256).unionByName(kmv_minima(b, "v", 256))
+        .distinct().orderBy("hx").limit(256)
+    )
+    direct = kmv_minima(df, "v", 256)
+    assert [r["hx"] for r in merged.collect()] == [
+        r["hx"] for r in direct.collect()
+    ]
