@@ -986,6 +986,20 @@ def q_events_in_windows(spark, sf_dir):
     )
 
 
+def q_events_rollup(spark, sf_dir):
+    """Hypertable-style continuous aggregate: hour→day→total event
+    rollups from ONE grouping-set pass (operators/rollup.py), verified
+    against DuckDB's ROLLUP."""
+    from medea_ps_spark.operators.rollup import time_rollup
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = time_rollup(ev, ts_col="ts", value_col="value")
+    return out.select(
+        "day_us", "hour_us", "grain", "n_events",
+        F.round("value_sum", 2).alias("value_sum"),
+    )
+
+
 def q_kmv_distinct(spark, sf_dir):
     """KMV distinct sketch (operators/sketches.py): deterministic
     md5-based k-minimum-values estimator — the sketch state AND the
@@ -1140,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions_detail": q_events_sessions_detail,
         "events_in_windows": q_events_in_windows,
         "kmv_distinct": q_kmv_distinct,
+        "events_rollup": q_events_rollup,
         "referential_salted": q_referential_salted,
     }
 
@@ -1972,6 +1987,23 @@ def oracle_sql() -> dict[str, str]:
         """.format(
             windows=", ".join(f"({i}, {s}, {e})" for i, s, e in _RJ_WINDOWS)
         ),
+        "events_rollup": """
+            WITH b AS (
+              SELECT CAST(floor(epoch_us(ts) / 86400000000.0)
+                          * 86400000000 AS BIGINT) AS day_us,
+                     CAST(floor(epoch_us(ts) / 3600000000.0)
+                          * 3600000000 AS BIGINT) AS hour_us,
+                     value
+              FROM events
+            )
+            SELECT day_us, hour_us,
+                   CASE WHEN hour_us IS NOT NULL THEN 'hour'
+                        WHEN day_us IS NOT NULL THEN 'day'
+                        ELSE 'total' END AS grain,
+                   count(*) AS n_events,
+                   round(sum(value), 2) AS value_sum
+            FROM b GROUP BY ROLLUP (day_us, hour_us)
+        """,
         "kmv_distinct": """
             WITH h AS (
               SELECT DISTINCT

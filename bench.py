@@ -242,7 +242,7 @@ def bench_queries(spark) -> dict:
         # round-3 operators
         "events_asof", "events_sessions_detail", "seq_packing", "mixture_sample",
         "text_repetition", "quantile_drift", "events_in_windows",
-        "kmv_distinct",
+        "kmv_distinct", "events_rollup",
     ]
     qs = em.queries()
     out = {}

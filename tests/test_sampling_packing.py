@@ -335,3 +335,53 @@ def test_kmv_distinct_accuracy_and_merge(spark):
     assert [r["hx"] for r in merged.collect()] == [
         r["hx"] for r in direct.collect()
     ]
+
+
+def test_time_rollup_consistency(spark):
+    """Every grain must be an exact re-aggregation of the finer one,
+    and the whole thing must come from ONE aggregation (grouping sets),
+    not one scan per resolution."""
+    from medea_ps_spark.operators.rollup import time_rollup
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = time_rollup(ev, ts_col="ts", value_col="value").cache()
+    hours = out.where(F.col("grain") == "hour").collect()
+    days = {r["day_us"]: r for r in out.where(F.col("grain") == "day").collect()}
+    total = out.where(F.col("grain") == "total").collect()
+    # day rows == sum of their hour rows
+    agg = {}
+    for h in hours:
+        d = agg.setdefault(h["day_us"], [0, 0.0])
+        d[0] += h["n_events"]
+        d[1] += h["value_sum"]
+    assert set(agg) == set(days)
+    for day_us, (n, v) in agg.items():
+        assert days[day_us]["n_events"] == n
+        assert abs(days[day_us]["value_sum"] - v) < 1e-6
+    # total == sum of days == raw count
+    assert len(total) == 1
+    assert total[0]["n_events"] == ev.count()
+    out.unpersist()
+    # single-pass: exactly one Exchange (the rollup agg's) on a fresh
+    # (uncached, unexecuted) plan — the cache above would wrap it in an
+    # InMemoryRelation that prints initial+final AQE plans twice
+    fresh = time_rollup(ev, ts_col="ts", value_col="value")
+    plan = fresh._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1, plan
+    assert "Expand" in plan  # grouping-set expansion, not multiple scans
+    assert plan.count("FileScan") == 1, plan
+
+
+def test_time_rollup_with_extra_keys(spark):
+    from medea_ps_spark.operators.rollup import time_rollup
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    out = time_rollup(ev, extra_keys=("event_type",))
+    per_key_totals = out.where(
+        (F.col("grain") == "total") & F.col("event_type").isNotNull()
+    ).collect()
+    raw = {
+        r["event_type"]: r["n"]
+        for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
+    }
+    assert {r["event_type"]: r["n_events"] for r in per_key_totals} == raw
