@@ -919,13 +919,17 @@ def q_events_asof(spark, sf_dir):
     clicks = ev.where(F.col("event_type") == "click").select(
         "event_id", "user_id", "ts", "value"
     )
-    views = ev.where(F.col("event_type") == "view").select(
-        "user_id", "ts", "value", "event_id"
+    # pre-reduce views to ONE row per (user_id, ts) — arg-max by
+    # event_id — because DuckDB's ASOF JOIN makes an unspecified choice
+    # among tied right rows; reducing identically on both sides pins
+    # the tie semantics (ADVICE r3)
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id", "ts")
+        .agg(F.max_by("value", "event_id").alias("value"))
     )
-    out = asof_join(
-        clicks, views, ["user_id"], "ts", ["value"],
-        suffix="_view", tiebreak_cols=["event_id"],
-    )
+    out = asof_join(clicks, views, ["user_id"], "ts", ["value"],
+                    suffix="_view")
     return out.select(
         "event_id", "user_id",
         F.round("value", 2).alias("value"),
@@ -1997,8 +2001,8 @@ def oracle_sql() -> dict[str, str]:
               FROM events
             )
             SELECT day_us, hour_us,
-                   CASE WHEN hour_us IS NOT NULL THEN 'hour'
-                        WHEN day_us IS NOT NULL THEN 'day'
+                   CASE WHEN GROUPING(hour_us) = 0 THEN 'hour'
+                        WHEN GROUPING(day_us) = 0 THEN 'day'
                         ELSE 'total' END AS grain,
                    count(*) AS n_events,
                    round(sum(value), 2) AS value_sum
@@ -2019,16 +2023,21 @@ def oracle_sql() -> dict[str, str]:
               SELECT CAST(count(DISTINCT doc_id) AS BIGINT)
                        AS exact_distinct
               FROM documents WHERE doc_id IS NOT NULL
+            ), est AS (
+              -- under-full sketch (k < 256) holds every distinct hash:
+              -- exact count, not the (k-1)/frac estimator (matches
+              -- kmv_distinct_estimate's ADVICE-r3 small-input rule)
+              SELECT k, kth_hex,
+                     CASE WHEN k < 256 THEN CAST(k AS DOUBLE)
+                          ELSE round((k - 1) / (('0x' || kth_hex)::BIGINT
+                                                / 4294967296.0), 4)
+                     END AS est_distinct
+              FROM kth
             )
-            SELECT k, kth_hex,
-                   round((k - 1) / (('0x' || kth_hex)::BIGINT
-                                    / 4294967296.0), 4) AS est_distinct,
-                   exact_distinct,
-                   abs(round((k - 1) / (('0x' || kth_hex)::BIGINT
-                                        / 4294967296.0), 4)
-                       - exact_distinct)
+            SELECT k, kth_hex, est_distinct, exact_distinct,
+                   abs(est_distinct - exact_distinct)
                      / exact_distinct < 0.2 AS rel_ok
-            FROM kth, ex
+            FROM est, ex
         """,
         "events_sessions_detail": """
             WITH flagged AS (
@@ -2059,8 +2068,11 @@ def oracle_sql() -> dict[str, str]:
               SELECT event_id, user_id, ts, value FROM events
               WHERE event_type = 'click'
             ), views AS (
-              SELECT user_id, ts, value FROM events
-              WHERE event_type = 'view'
+              -- one row per (user_id, ts), arg-max by event_id: pins
+              -- ASOF tie semantics identically to the Spark side
+              SELECT user_id, ts, arg_max(value, event_id) AS value
+              FROM events WHERE event_type = 'view'
+              GROUP BY 1, 2
             )
             SELECT c.event_id, c.user_id,
                    round(c.value, 2) AS value,
@@ -2075,8 +2087,10 @@ def oracle_sql() -> dict[str, str]:
               FROM read_parquet('{SEQ_FIXTURE}')
               WHERE doc_id IS NOT NULL AND n_tok IS NOT NULL
             ), asg AS (
+              -- integer // (not floor of a double quotient): exact
+              -- chunk boundaries for any max_tokens (ADVICE r3)
               SELECT source, substr(okey, 1, 1) AS shard, n_tok,
-                     CAST(floor((SUM(n_tok) OVER w - n_tok) / 8192.0)
+                     CAST((SUM(n_tok) OVER w - n_tok) // 8192
                           AS BIGINT) AS pack_id
               FROM base
               WINDOW w AS (PARTITION BY source, substr(okey, 1, 1)

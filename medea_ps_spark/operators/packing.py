@@ -65,15 +65,24 @@ def pack_assignments(
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     running = F.sum("_n_tok").over(w)
-    start = running - F.col("_n_tok")  # 0-based offset of the doc's first token
+    # INTEGER `div`, not floor(double /): a large bigint running sum
+    # divided in double can round across an integer boundary for
+    # non-power-of-2 max_tokens, assigning a boundary doc to the wrong
+    # chunk (ADVICE r3). All operands are non-negative, so truncating
+    # div == floor div. Zero-length docs span 0 chunks by definition
+    # (the div identity needs n_tok >= 1).
     out = (
         out.withColumn("_running", running)
-        .withColumn("pack_id", F.floor(start / max_tokens))
-        .withColumn("pack_offset", start % max_tokens)
+        # 0-based offset of the doc's first token
+        .withColumn("_start", F.col("_running") - F.col("_n_tok"))
+        .withColumn("pack_id", F.expr(f"_start div {max_tokens}"))
+        .withColumn("pack_offset", F.col("_start") % max_tokens)
         .withColumn(
             "n_chunks_spanned",
-            F.floor((F.col("_running") - 1) / max_tokens)
-            - F.col("pack_id") + 1,
+            F.when(F.col("_n_tok") == 0, F.lit(0)).otherwise(
+                F.expr(f"(_running - 1) div {max_tokens}")
+                - F.col("pack_id") + 1
+            ),
         )
     )
     return out.select(

@@ -43,8 +43,9 @@ def point_in_interval_join(
 ) -> DataFrame:
     """All (point, interval) pairs with ``start <= point <= end`` (and
     equal ``keys``), as an equi-join on the bucketed axis. Columns of
-    both inputs are preserved; axis columns must be numeric (cast
-    timestamps to epoch micros first — see sessions._micros)."""
+    both inputs are preserved; axis columns must be numeric — epoch
+    micros for time axes (operators/timeunits.ts_micros, the engine
+    convention)."""
     if bucket_width <= 0:
         raise ValueError("bucket_width must be positive")
     keys = list(keys)

@@ -22,22 +22,12 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import DataFrame, functions as F
+
+from medea_ps_spark.operators.timeunits import ts_micros
 
 _US_PER_HOUR = 3_600 * 1_000_000
 _US_PER_DAY = 24 * _US_PER_HOUR
-
-
-def _ts_us(df: DataFrame, ts_col: str) -> Column:
-    from pyspark.sql.types import TimestampNTZType, TimestampType
-
-    c = F.col(ts_col)
-    dt = df.schema[ts_col].dataType
-    if isinstance(dt, TimestampNTZType):
-        return F.unix_micros(c.cast("timestamp"))
-    if isinstance(dt, TimestampType):
-        return F.unix_micros(c)
-    return c.cast("bigint")
 
 
 def time_rollup(
@@ -45,12 +35,14 @@ def time_rollup(
     ts_col: str = "ts",
     value_col: str = "value",
     extra_keys: Sequence[str] = (),
+    numeric_unit: str = "us",
 ) -> DataFrame:
     """(extra_keys..., day_us, hour_us, grain, n_events, value_sum):
     hourly rows plus their daily and total roll-ups from one
     grouping-set aggregation. ``grain`` ∈ {hour, day, total}; bucket
-    columns are NULL above their grain."""
-    us = _ts_us(df, ts_col)
+    columns are NULL above their grain. Numeric ``ts_col`` values are
+    epoch micros by default (engine convention — timeunits.ts_micros)."""
+    us = ts_micros(df, ts_col, numeric_unit=numeric_unit)
     day = (F.floor(us / _US_PER_DAY) * _US_PER_DAY).cast("bigint")
     hour = (F.floor(us / _US_PER_HOUR) * _US_PER_HOUR).cast("bigint")
     keyed = df.select(
@@ -59,19 +51,22 @@ def time_rollup(
         hour.alias("hour_us"),
         F.col(value_col).alias("_v"),
     )
+    # grain from GROUPING(), not bucket NULL-ness: rows with NULL ts form
+    # a real (NULL, NULL) group at the hour level that NULL-based labeling
+    # would silently merge with the ROLLUP subtotal/grand-total rows.
+    # grouping() is only valid inside the agg clause, so grain is an agg
+    # output. With extra_keys leading, ROLLUP's extra levels are exactly
+    # the per-key totals and the grand total — both labeled "total".
+    grain = (
+        F.when(F.grouping("hour_us") == 0, F.lit("hour"))
+        .when(F.grouping("day_us") == 0, F.lit("day"))
+        .otherwise(F.lit("total"))
+    )
     rolled = keyed.rollup(*extra_keys, "day_us", "hour_us").agg(
+        grain.alias("grain"),
         F.count(F.lit(1)).alias("n_events"),
         F.sum("_v").alias("value_sum"),
     )
-    grain = (
-        F.when(F.col("hour_us").isNotNull(), F.lit("hour"))
-        .when(F.col("day_us").isNotNull(), F.lit("day"))
-        .otherwise(F.lit("total"))
-    )
-    # with extra_keys leading, ROLLUP's extra levels are exactly the
-    # per-key totals (time rolled away, key kept) and the grand total —
-    # both meaningful, both labeled "total" by grain
-    out = rolled.withColumn("grain", grain)
-    return out.select(
+    return rolled.select(
         *extra_keys, "day_us", "hour_us", "grain", "n_events", "value_sum"
     )

@@ -27,27 +27,10 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from medea_ps_spark.operators.timeunits import ts_micros
+
 SESSION_COL = "session_id"
 TS_US_COL = "_ts_us"
-
-
-def _micros(df: DataFrame, time_col: str):
-    """Integer microseconds for the time column — exact arithmetic for
-    the gap compare (a double epoch at microsecond resolution is at the
-    edge of the 52-bit mantissa, and an inexact boundary compare would
-    split sessions differently engine to engine)."""
-    from pyspark.sql.types import TimestampNTZType, TimestampType
-
-    c = F.col(time_col)
-    dt = df.schema[time_col].dataType
-    if isinstance(dt, TimestampNTZType):
-        # NTZ -> timestamp is wall-clock-preserving under the engine's
-        # UTC session tz (session.py pins it), matching DuckDB's
-        # epoch_us on naive timestamps
-        return F.unix_micros(c.cast("timestamp"))
-    if isinstance(dt, TimestampType):
-        return F.unix_micros(c)
-    return (c.cast("double") * F.lit(1_000_000)).cast("bigint")
 
 
 def sessionize(
@@ -55,6 +38,7 @@ def sessionize(
     gap_seconds: int,
     key_cols: Sequence[str] = ("user_id",),
     time_col: str = "ts",
+    numeric_unit: str = "us",
 ) -> DataFrame:
     """Adds ``session_id`` (0-based per key, ordered by time) and
     ``_ts_us``: a new session starts at the first event and at every
@@ -63,9 +47,16 @@ def sessionize(
     ``session_window``, so batch and streaming sessionization agree).
     Ties on time are ordered deterministically only if the caller's
     time values are unique per key (true for microsecond event logs);
-    equal-time events always share a session either way."""
+    equal-time events always share a session either way.
+
+    Numeric ``time_col`` values are EPOCH MICROSECONDS by default (the
+    engine-wide convention, shared with rollup/rangejoin/asof via
+    operators/timeunits.ts_micros); pass ``numeric_unit="s"``/``"ms"``
+    for other units."""
     key_cols = list(key_cols)
-    out = df.withColumn(TS_US_COL, _micros(df, time_col))
+    out = df.withColumn(
+        TS_US_COL, ts_micros(df, time_col, numeric_unit=numeric_unit)
+    )
     w = Window.partitionBy(*key_cols).orderBy(TS_US_COL)
     prev = F.lag(F.col(TS_US_COL)).over(w)
     new_session = (

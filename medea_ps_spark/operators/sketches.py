@@ -253,14 +253,20 @@ def kmv_distinct_estimate(
     k=256). Complements approx_count_distinct (HLL): KMV's state is
     plain rows — mergeable across tables/partitions with a union, and
     exactly reproducible by any engine with md5. Returns
-    (k, kth_hex, est_distinct)."""
+    (k, kth_hex, est_distinct).
+
+    Under-full sketch (fewer than ``k`` distinct values, incl. the
+    empty input): the sketch already HOLDS every distinct hash, so the
+    exact count is returned instead of the noisy (k-1)/frac estimator
+    (standard KMV behavior; also guards the NULL kth_hex of an empty
+    input)."""
     mins = kmv_minima(df, column, k, salt)
     kth = mins.agg(
         F.count(F.lit(1)).alias("k"), F.max("hx").alias("kth_hex")
     )
     frac = F.conv(F.col("kth_hex"), 16, 10).cast("double") / F.lit(_KMV_SPAN)
-    return kth.select(
-        "k",
-        "kth_hex",
-        F.round((F.col("k") - 1) / frac, 4).alias("est_distinct"),
+    est = (
+        F.when(F.col("k") < k, F.col("k").cast("double"))
+        .otherwise(F.round((F.col("k") - 1) / frac, 4))
     )
+    return kth.select("k", "kth_hex", est.alias("est_distinct"))

@@ -233,7 +233,10 @@ def test_sessionize_hand_computed(spark):
         ("u2", 50.0, 32.0),                         # own key -> s0
     ]
     df = spark.createDataFrame(rows, "user_id string, t double, value double")
-    sess = sessionize(df, gap_seconds=1800, key_cols=("user_id",), time_col="t")
+    # numeric time defaults to MICROS engine-wide; these fixtures are
+    # seconds, so say so explicitly (ADVICE r3 unit-convention fix)
+    sess = sessionize(df, gap_seconds=1800, key_cols=("user_id",),
+                      time_col="t", numeric_unit="s")
     got = {(r["user_id"], int(r["t"])): r["session_id"] for r in sess.collect()}
     assert got == {
         ("u1", 0): 0, ("u1", 100): 0, ("u1", 2000): 1,
