@@ -14,8 +14,10 @@ stays available for joining features back.
 
 Skew: a hot key's whole stream lands in one task (inherent to per-key
 ordering). For bounded-retention streams that is bounded; for a
-pathological key, pre-split by (key, time-bucket) and stitch boundary
-sessions — the same salting pattern as referential.py.
+pathological key, :func:`sessionize_salted` pre-splits by
+(key, time-bucket), sessionizes each bucket locally, and stitches
+boundary sessions through a per-(key, bucket) summary — bit-identical
+output, hot key spread over span/bucket tasks.
 
 The whole construction (lag + cumsum windows) is bit-identical in
 DuckDB, so it's SQL-oracle-able end to end.
@@ -69,6 +71,89 @@ def sessionize(
     return out.withColumn(
         SESSION_COL, F.sum(new_session).over(run) - F.lit(1)
     )
+
+
+def sessionize_salted(
+    df: DataFrame,
+    gap_seconds: int,
+    key_cols: Sequence[str] = ("user_id",),
+    time_col: str = "ts",
+    bucket_seconds: int | None = None,
+    numeric_unit: str = "us",
+) -> DataFrame:
+    """Hot-key-safe :func:`sessionize` — BIT-IDENTICAL output columns
+    (``session_id``, ``_ts_us``), but no single task ever holds a key's
+    whole stream.
+
+    Pre-split: events shuffle on (key, time-bucket) and sessionize
+    LOCALLY inside each bucket (a celebrity key spanning S seconds
+    spreads over S/bucket_seconds tasks). Stitch: a tiny per-
+    (key, bucket) summary (min/max ts, local session count) is windowed
+    per key in bucket order — the first local session of a bucket merges
+    with the previous non-empty bucket's last session iff the boundary
+    gap is <= gap (same inclusive rule as sessionize), and a running sum
+    of (sessions - merges) renumbers every local id globally. Merge
+    chains across any number of buckets (even empty ones) compose
+    through the running sum, so the result equals the unsalted operator
+    exactly (asserted in tests on random + planted-hot-key data).
+
+    Cost: ONE full shuffle of events on (key, bucket) — same volume as
+    sessionize's (key) shuffle — plus two tiny exchanges of the
+    one-row-per-(key, bucket) summary and a co-partitioned join back.
+    Default bucket is 100x the gap (rarely-merging buckets, strong
+    spread); any positive width is correct."""
+    key_cols = list(key_cols)
+    gap_us = gap_seconds * 1_000_000
+    bucket_us = (bucket_seconds or gap_seconds * 100) * 1_000_000
+    if bucket_us <= 0:
+        raise ValueError("bucket_seconds must be positive")
+
+    evt = df.withColumn(
+        TS_US_COL, ts_micros(df, time_col, numeric_unit=numeric_unit)
+    ).withColumn(
+        # integer div (exact; monotone in ts, equal times share a
+        # bucket — all the stitch needs), not floor of a double ratio
+        "_bkt", F.expr(f"{TS_US_COL} div {bucket_us}")
+    )
+
+    w = Window.partitionBy(*key_cols, "_bkt").orderBy(TS_US_COL)
+    prev = F.lag(F.col(TS_US_COL)).over(w)
+    new_local = (
+        prev.isNull() | (F.col(TS_US_COL) - prev > gap_us)
+    ).cast("bigint")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    evt = evt.withColumn("_lsid", F.sum(new_local).over(run) - F.lit(1))
+
+    # one row per (key, bucket): partial+final agg on the partitioning
+    # the local window just established (no extra event shuffle)
+    summary = evt.groupBy(*key_cols, "_bkt").agg(
+        F.min(TS_US_COL).alias("_min_ts"),
+        F.max(TS_US_COL).alias("_max_ts"),
+        (F.max("_lsid") + 1).alias("_s"),
+    )
+    wk = Window.partitionBy(*key_cols).orderBy("_bkt")
+    # NULL lag (first non-empty bucket) compares to NULL -> otherwise 0
+    merged = (
+        F.when(
+            F.col("_min_ts") - F.lag("_max_ts").over(wk) <= gap_us, F.lit(1)
+        ).otherwise(F.lit(0))
+    )
+    gstart = F.coalesce(
+        F.sum(F.col("_s") - F.col("_m")).over(
+            wk.rowsBetween(Window.unboundedPreceding, -1)
+        ),
+        F.lit(0),
+    )
+    summary = (
+        summary.withColumn("_m", merged)
+        .withColumn("_gstart", gstart)
+        .select(*key_cols, "_bkt", "_m", "_gstart")
+    )
+    out = evt.join(summary, on=key_cols + ["_bkt"], how="inner")
+    out = out.withColumn(
+        SESSION_COL, F.col("_gstart") + F.col("_lsid") - F.col("_m")
+    )
+    return out.drop("_bkt", "_lsid", "_m", "_gstart")
 
 
 def session_stats(
