@@ -1165,10 +1165,13 @@ def _shingles_sql(k: int) -> str:
     )
 
 
-def _ngram_pairs_sql(id_cap: int, threshold: float) -> str:
+def _ngram_pairs_sql(id_cap: int, threshold: float,
+                     max_shingle_df: int = 1000) -> str:
     """Exact 3-gram Jaccard pair graph over documents with doc_id <
     ``id_cap`` at jaccard >= ``threshold`` — the inverted-index
-    construction mirrored in SQL (columns id_a, id_b, jaccard)."""
+    construction mirrored in SQL (columns id_a, id_b, jaccard),
+    including the default stop-shingle DF cap (dropped from the index
+    only; sizes keep counting them, exactly like the Spark side)."""
     return f"""
             WITH d AS (
               SELECT doc_id, list_distinct({_SHINGLES}) AS sh FROM (
@@ -1177,7 +1180,13 @@ def _ngram_pairs_sql(id_cap: int, threshold: float) -> str:
               ) WHERE len(_toks) >= 3
             ),
             sz AS (SELECT doc_id, len(sh) AS n_sh FROM d WHERE len(sh) > 0),
-            inv AS (SELECT doc_id, unnest(sh) AS shingle FROM d),
+            inv0 AS (SELECT doc_id, unnest(sh) AS shingle FROM d),
+            keep AS (
+              SELECT shingle FROM inv0 GROUP BY shingle
+              HAVING count(*) <= {max_shingle_df}
+            ),
+            inv AS (SELECT doc_id, inv0.shingle FROM inv0
+                    JOIN keep ON inv0.shingle = keep.shingle),
             com AS (
               SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
               FROM inv a JOIN inv b

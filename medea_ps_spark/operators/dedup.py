@@ -440,12 +440,18 @@ def ngram_jaccard_pairs(
     id_col: str = "doc_id",
     shingle_k: int = 3,
     threshold: float = 0.5,
-    max_shingle_df: Optional[int] = None,
+    max_shingle_df: Optional[int] = 1000,
 ) -> DataFrame:
     """Exact all-pairs Jaccard via the inverted index: explode distinct
     shingles, self-join on shingle, count common, divide by union. The
     shuffle key is the shingle; ``max_shingle_df`` drops stop-shingles
-    (document frequency cap) to bound the quadratic blowup at scale."""
+    (document frequency cap) from the INDEX (pair sizes n_a/n_b keep
+    counting them) to bound the quadratic blowup — one stop-shingle
+    shared by S docs otherwise costs S^2 join rows. DEFAULT-CAPPED at
+    1000 (VERDICT r3 #7, the _cap_buckets philosophy: unbounded blowup
+    must be an explicit opt-in, ``max_shingle_df=None``). Capped runs
+    can only LOWER a pair's jaccard (common shrinks, union doesn't), so
+    dropped pairs are the stop-shingle-dominated ones."""
     sh = df.select(
         F.col(id_col),
         F.array_distinct(word_shingles(F.col(text_col), k=shingle_k)).alias("_sh"),

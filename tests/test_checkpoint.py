@@ -95,3 +95,85 @@ def test_manifest_roundtrip(tmp_path):
     m = Manifest("r", "t", "source", "fp")
     m2 = Manifest.from_json(m.to_json())
     assert m2.run_id == "r" and m2.fingerprint == "fp"
+
+
+def test_incremental_rollup_maintenance(spark, tmp_path):
+    """VERDICT r3 #5: rollup.py claims per-partition incremental
+    maintenance through the checkpoint manifest — prove it end to end.
+    Append one partition + dirty another; the second run must
+    re-aggregate ONLY those two slices, and the assembled rollup table
+    must equal a full recompute over the updated input."""
+    from medea_ps_spark.operators.rollup import time_rollup
+
+    base_us = 1_700_000_000 * 1_000_000
+
+    def _events(n, src, offset=0):
+        return spark.range(n).select(
+            (F.lit(base_us) + (F.col("id") + offset) * 600 * 1_000_000)
+            .alias("ts"),
+            (F.col("id") % 10).cast("double").alias("value"),
+            F.lit(src).alias("source"),
+        )
+
+    table = str(tmp_path / "events")
+    _events(500, "a").unionByName(_events(400, "b")).write.partitionBy(
+        "source"
+    ).parquet(table)
+
+    processed = []
+
+    def _proc(df, out_dir):
+        processed.append(out_dir.rsplit("source=", 1)[1])
+        out = time_rollup(df, ts_col="ts", value_col="value")
+        out.write.mode("overwrite").parquet(out_dir)
+        return {"n_slices": out.count()}
+
+    ck = str(tmp_path / "ck")
+    run1 = CheckpointedRun(spark, table, ck, fingerprint="rollup-v1")
+    run1.run(_proc)
+    assert sorted(processed) == ["a", "b"]
+
+    # epoch 2: new partition c; append rows into b (dirty); a untouched
+    processed.clear()
+    _events(300, "c").write.mode("append").partitionBy("source").parquet(table)
+    _events(100, "b", offset=10_000).write.mode("append").partitionBy(
+        "source"
+    ).parquet(table)
+    run2 = CheckpointedRun(spark, table, ck, fingerprint="rollup-v1")
+    assert sorted(run2.pending_partitions()) == ["b", "c"]
+    run2.run(_proc)
+    assert sorted(processed) == ["b", "c"]  # a's slice NOT recomputed
+
+    # assembled per-partition slices == full recompute's per-source
+    # levels (the cross-partition grand total is, by design, a cheap
+    # re-aggregation of the per-source 'total' slices — checked too)
+    parts = run2.partitions()
+    assembled = None
+    for p in parts:
+        s = spark.read.parquet(
+            os.path.join(ck, "out", f"source={p}")
+        ).withColumn("source", F.lit(p))
+        assembled = s if assembled is None else assembled.unionByName(s)
+    full = time_rollup(
+        spark.read.parquet(table), ts_col="ts", value_col="value",
+        extra_keys=("source",),
+    )
+    want = full.where(F.col("source").isNotNull()).select(
+        "source", "day_us", "hour_us", "grain", "n_events", "value_sum"
+    )
+    got = assembled.select(
+        "source", "day_us", "hour_us", "grain", "n_events", "value_sum"
+    )
+    assert want.exceptAll(got).count() == 0
+    assert got.exceptAll(want).count() == 0
+    # grand total from maintained slices == full recompute's () level
+    grand = full.where(
+        F.col("source").isNull() & (F.col("grain") == "total")
+    ).select("n_events", "value_sum").collect()[0]
+    agg = (
+        assembled.where(F.col("grain") == "total")
+        .agg(F.sum("n_events").alias("n"), F.sum("value_sum").alias("v"))
+        .collect()[0]
+    )
+    assert agg["n"] == grand["n_events"]
+    assert abs(agg["v"] - grand["value_sum"]) < 1e-6

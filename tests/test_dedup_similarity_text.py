@@ -533,3 +533,38 @@ def test_cosine_srp_bucket_cap_bounds_degenerate_corpus(spark):
     got = {(r["id_a"], r["id_b"]) for r in capped.collect()}
     assert len(got) <= 4 * n  # O(n), not O(n²)
     assert (1000, 1001) in got  # planted pair survives the cap
+
+
+def test_ngram_jaccard_df_cap_default_bounds_blowup(spark):
+    """VERDICT r3 #7: the stop-shingle DF cap is now the DEFAULT.
+    Degenerate corpus — every doc shares one boilerplate sentence — the
+    shared shingles would join S^2 candidate rows; with the cap they
+    drop from the index and only genuinely-similar pairs survive."""
+    n = 60
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.concat(
+            F.lit("common boilerplate header line here "),
+            F.lit("unique"), F.col("id").cast("string"),
+            F.lit(" body "), F.lit("tail"), F.col("id").cast("string"),
+        ).alias("text"),
+    )
+    capped = DD.ngram_jaccard_pairs(
+        docs, "text", "doc_id", shingle_k=3, threshold=0.1,
+        max_shingle_df=10,
+    )
+    uncapped = DD.ngram_jaccard_pairs(
+        docs, "text", "doc_id", shingle_k=3, threshold=0.1,
+        max_shingle_df=None,
+    )
+    # uncapped: the boilerplate makes every pair >= threshold (S^2);
+    # capped: the shared shingles leave the index, no pair survives
+    assert uncapped.count() == n * (n - 1) // 2
+    assert capped.count() == 0
+    # the DEFAULT signature is the capped path (explicit None opts out)
+    import inspect
+    from medea_ps_spark.operators.dedup import ngram_jaccard_pairs
+    assert (
+        inspect.signature(ngram_jaccard_pairs)
+        .parameters["max_shingle_df"].default == 1000
+    )

@@ -253,3 +253,89 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
         assert sorted(stream_sessions[u]) == sorted(batch_sessions[u]), u
     assert len(stream_sessions["u1"]) == 2
     assert len(stream_sessions["u3"]) == 1
+
+
+def test_streaming_sessions_survive_restart(spark, tmp_path):
+    """VERDICT r3 #6: kill/restart recovery. Run the session_window
+    query over a file source with a checkpointLocation, stop it, add
+    more input (including a row that CONTINUES a session opened before
+    the stop — state recovery, not just offset recovery), restart with
+    the same checkpoint, and assert the union of emitted session rows
+    equals the batch operator on the full input: nothing lost, nothing
+    duplicated."""
+    from medea_ps_spark.operators.sessions import sessionize
+    from medea_ps_spark.streaming.validate_stream import (
+        streaming_session_stats,
+    )
+
+    base = 1_700_000_000
+    schema = "user_id string, ts timestamp, value double"
+
+    def _rows(rows):
+        return spark.createDataFrame(
+            [(u, off, v) for u, off, v in rows],
+            "user_id string, epoch bigint, value double",
+        ).select(
+            "user_id",
+            F.timestamp_seconds(F.col("epoch") + base).alias("ts"),
+            "value",
+        )
+
+    src = str(tmp_path / "in")
+    ck = str(tmp_path / "ck")
+    sink = str(tmp_path / "out")
+    batch_a = [("u1", 0, 1.0), ("u1", 100, 2.0), ("u1", 200, 4.0),
+               ("u2", 0, 8.0), ("u2", 50, 16.0)]
+    _rows(batch_a).write.mode("append").parquet(src)
+
+    def _start():
+        stream = spark.readStream.schema(schema).parquet(src)
+        out = streaming_session_stats(
+            stream, gap="30 minutes", watermark="1 hour"
+        )
+        return (
+            out.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ck)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+
+    q = _start()
+    q.awaitTermination(120)  # availableNow: drains batch A, then stops
+
+    # batch B: u1@1000 is 800s after u1@200 -> CONTINUES the session
+    # opened before the stop; u1@5000/u2@10000 open new sessions; the
+    # flush row pushes the global watermark past every real session end
+    batch_b = [("u1", 1000, 32.0), ("u1", 5000, 64.0),
+               ("u2", 10_000, 128.0), ("flush", 200_000, 0.0)]
+    _rows(batch_b).write.mode("append").parquet(src)
+    q = _start()  # same checkpoint -> resumes state + offsets
+    q.awaitTermination(120)
+
+    got = {
+        (r["user_id"], int(r["session_start"].timestamp()) - base,
+         r["n_events"], r["value_sum"])
+        for r in spark.read.parquet(sink).collect()
+        if r["user_id"] != "flush"
+    }
+    full = _rows(batch_a + batch_b[:-1])
+    sess = sessionize(full, gap_seconds=1800, key_cols=("user_id",))
+    want = {
+        (r["user_id"], int(r["start_us"] // 1_000_000) - base,
+         r["n_events"], r["value_sum"])
+        for r in sess.groupBy("user_id", "session_id").agg(
+            F.min("_ts_us").alias("start_us"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("value_sum"),
+        ).collect()
+    }
+    assert got == want
+    # the cross-restart session arrived as ONE row (4 events), proving
+    # session state (not just source offsets) survived the restart
+    assert ("u1", 0, 4, 39.0) in got
+    # and no duplicates from re-emitting finished sessions
+    raw = [r for r in spark.read.parquet(sink).collect()
+           if r["user_id"] != "flush"]
+    assert len(raw) == len(got)
