@@ -75,14 +75,22 @@ def _cluster_session(n_exec: int, cores_per_exec: int = 4,
     """local-cluster[N,c,mem]: N SEPARATE executor JVMs (own heap, own
     GC, own shuffle/memory pools) — the in-sandbox stand-in for the
     north rule's N-vs-4N-executor cluster. Unlike local[N], nothing
-    shares a heap with the driver."""
+    shares a heap with the driver.
+
+    NOTE the master-string memory is the WORKER's allocatable amount,
+    not the executor heap — without an explicit spark.executor.memory
+    the executors launch with the 1g default and OOM on the 24M-row
+    scan (same ~1.5g/core budget as the local[32]/48g runs)."""
     from medea_ps_spark.session import get_spark
 
     return get_spark(
         app_name=f"medea-bench-cluster-{n_exec}",
         master=f"local-cluster[{n_exec},{cores_per_exec},{mem_mb}]",
         shuffle_partitions=max(8, n_exec * cores_per_exec),
-        extra_conf={"spark.sql.files.maxPartitionBytes": "32m"},
+        extra_conf={
+            "spark.sql.files.maxPartitionBytes": "32m",
+            "spark.executor.memory": f"{mem_mb - 512}m",
+        },
     )
 
 
