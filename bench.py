@@ -173,9 +173,12 @@ def _validate_job(spark, n_rows: int = SEQ_ROWS) -> dict:
     n_viol = info["violations"]
     for c in compiled.table_constraints:
         if isinstance(c, Unique):
-            n_viol += V.unique_violations(df, c, "doc_id").count()
+            # count fast path: agg-only, no join-back scan (the
+            # violation-ROW paths stay in the driver contract)
+            n_viol += V.unique_violation_count(df, c)
         elif isinstance(c, ReferentialIn):
-            n_viol += V.referential_violations(df, c, "doc_id").count()
+            # literal dim -> row predicate, one pruned-column agg
+            n_viol += V.referential_violation_count(df, c)
     info["violations"] = n_viol
     return info
 

@@ -137,6 +137,38 @@ def referential_violations(
     )
 
 
+def unique_violation_count(df: DataFrame, c: Unique) -> int:
+    """COUNT of :func:`unique_violations` rows without the join-back:
+    every row whose key appears >1 times == sum of group sizes over
+    duplicated keys. One pruned-column scan + one partial+final agg of
+    the distinct keys — at metrics-only scale (10^12 rows, violation
+    rows sampled/sunk separately) this halves the uniqueness cost."""
+    row = (
+        df.where(F.col(c.column).isNotNull())
+        .groupBy(c.column)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .where(F.col("_n") > 1)
+        .agg(F.coalesce(F.sum("_n"), F.lit(0)).alias("n"))
+        .collect()[0]
+    )
+    return int(row["n"])
+
+
+def referential_violation_count(df: DataFrame, c: ReferentialIn) -> int:
+    """COUNT of :func:`referential_violations` rows for a literal-valued
+    dimension: the anti-join collapses to a row predicate (NULL or not
+    in the allowed set), so the count is ONE aggregate over a
+    pruned-column scan — no join, no shuffle. Falls back to the
+    anti-join count for table-backed dims."""
+    if not c.dim_values:
+        return referential_violations(df, c).count()
+    bad = ~F.coalesce(F.col(c.column).isin(list(c.dim_values)), F.lit(False))
+    row = df.agg(
+        F.coalesce(F.sum(bad.cast("bigint")), F.lit(0)).alias("n")
+    ).collect()[0]
+    return int(row["n"])
+
+
 def all_violations(
     df: DataFrame,
     compiled: CompiledSet,

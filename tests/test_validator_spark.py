@@ -154,3 +154,27 @@ def test_single_pass_plan(seq_df, compiled):
     validated = V.validate(seq_df, compiled)
     plan = validated._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_violation_count_fast_paths_match_row_paths(spark):
+    """unique_violation_count / referential_violation_count (agg-only,
+    no join-back / no anti-join) must equal the violation-ROW paths'
+    counts exactly — incl. NULL keys (excluded from uniqueness,
+    violations for referential)."""
+    from medea_ps_spark.operators import validator as V
+    from medea_ps_spark.plans.constraints import ReferentialIn, Unique
+
+    rows = [
+        ("a", "web"), ("a", "web"), ("a", "books"),   # key a ×3
+        ("b", "web"), ("c", None), (None, "bogus"),   # null key + null src
+        ("d", "unknown"), ("e", "web"), ("e", "web"), # key e ×2
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, source string")
+    u = Unique("u", "doc_id")
+    r = ReferentialIn("r", "source", dim_values=("web", "books"))
+    assert V.unique_violation_count(df, u) == V.unique_violations(
+        df, u, "doc_id"
+    ).count() == 5
+    assert V.referential_violation_count(df, r) == V.referential_violations(
+        df, r, "doc_id"
+    ).count() == 3
