@@ -638,12 +638,20 @@ def q_orders_by_segment(spark, sf_dir):
     )
 
 
-def q_events_activity(spark, sf_dir):
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return ev.groupBy("event_type").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.count_distinct("user_id").alias("n_users"),
-        F.round(F.sum("value"), 2).alias("total_value"),
+def q_text_lm_score(spark, sf_dir):
+    """Unigram-LM quality scoring (operators/lmscore.py) — the
+    perplexity-proxy filter of CCNet-style pipelines, self-scored over
+    the documents corpus. Laplace-smoothed bits/token + ppl are exact
+    rationals through log2/avg, so the whole scorer reproduces in
+    DuckDB to 4 decimals."""
+    from medea_ps_spark.operators.lmscore import unigram_lm_scores
+
+    df = _docs(spark, sf_dir)
+    out = unigram_lm_scores(df, "text", "doc_id", alpha=1.0)
+    return out.select(
+        "doc_id", "n_tokens",
+        F.round("bits_per_token", 4).alias("bits_per_token"),
+        F.round("ppl", 3).alias("ppl"),
     )
 
 
@@ -1077,7 +1085,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_user_skew": q_events_user_skew,
         "lineitem_pricing": q_lineitem_pricing,
         "orders_by_segment": q_orders_by_segment,
-        "events_activity": q_events_activity,
+        "text_lm_score": q_text_lm_score,
         "seq_validation": q_seq_validation,
         "seq_token_histogram": q_seq_token_histogram,
         "seq_unique_violations": q_seq_unique_violations,
@@ -1757,11 +1765,33 @@ def oracle_sql() -> dict[str, str]:
             FROM orders JOIN customer ON o_custkey = c_custkey
             GROUP BY c_mktsegment
         """,
-        "events_activity": """
-            SELECT event_type, count(*) AS n_events,
-                   count(DISTINCT user_id) AS n_users,
-                   round(sum(value), 2) AS total_value
-            FROM events GROUP BY event_type
+        "text_lm_score": """
+            WITH t AS (
+              SELECT doc_id,
+                     unnest(string_split(
+                       trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '
+                     )) AS word
+              FROM documents
+              WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0
+            ),
+            freq AS (SELECT word, count(*) AS n FROM t GROUP BY word),
+            tot AS (
+              SELECT CAST(sum(n) AS DOUBLE) AS N,
+                     CAST(count(*) AS DOUBLE) AS V
+              FROM freq
+            ),
+            sc AS (
+              SELECT doc_id,
+                     CAST(count(*) AS BIGINT) AS n_tokens,
+                     -avg(log2((f.n + 1.0) / (tot.N + 1.0 * (tot.V + 1))))
+                       AS bits
+              FROM t JOIN freq f USING (word), tot
+              GROUP BY doc_id
+            )
+            SELECT doc_id, n_tokens,
+                   round(bits, 4) AS bits_per_token,
+                   round(pow(2.0, bits), 3) AS ppl
+            FROM sc
         """,
         "seq_validation": f"""
             WITH t AS (

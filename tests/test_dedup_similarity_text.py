@@ -568,3 +568,71 @@ def test_ngram_jaccard_df_cap_default_bounds_blowup(spark):
         inspect.signature(ngram_jaccard_pairs)
         .parameters["max_shingle_df"].default == 1000
     )
+
+
+def test_unigram_lm_scores_hand_computed(spark):
+    """Self-scored Laplace bits/token checked against a numpy
+    recomputation, and the CCNet-style property: a doc of corpus-common
+    words scores fewer bits than a doc of rare words."""
+    import math
+
+    from medea_ps_spark.operators.lmscore import (
+        unigram_counts, unigram_lm_scores,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, "the cat sat on the mat"),
+         (1, "the the the the"),
+         (2, "zyx qwv plk mnb"),
+         (3, "   "),          # whitespace-only: excluded
+         (4, None)],          # null text: excluded
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in unigram_lm_scores(docs).collect()}
+    assert set(out) == {0, 1, 2}
+    # corpus: the×6 cat sat on mat×1... plus doc2's 4 singletons
+    counts = {"the": 6, "cat": 1, "sat": 1, "on": 1, "mat": 1,
+              "zyx": 1, "qwv": 1, "plk": 1, "mnb": 1}
+    N, V = sum(counts.values()), len(counts)
+    def bits(words):
+        return -sum(
+            math.log2((counts[w] + 1) / (N + (V + 1))) for w in words
+        ) / len(words)
+    for d, words in {
+        0: "the cat sat on the mat".split(),
+        1: "the the the the".split(),
+        2: "zyx qwv plk mnb".split(),
+    }.items():
+        assert abs(out[d]["bits_per_token"] - bits(words)) < 1e-9, d
+        assert out[d]["n_tokens"] == len(words)
+        assert abs(out[d]["ppl"] - 2 ** bits(words)) < 1e-6
+    # common-word doc beats rare-word doc
+    assert out[1]["bits_per_token"] < out[2]["bits_per_token"]
+
+
+def test_unigram_lm_reference_scoring_oov(spark):
+    """Scoring AGAINST a frozen reference (the CCNet setup): unseen
+    words hit the shared OOV bucket (c=0) instead of erroring, and
+    score strictly worse than any in-vocab word."""
+    import math
+
+    from medea_ps_spark.operators.lmscore import (
+        unigram_counts, unigram_lm_scores,
+    )
+
+    ref_corpus = spark.createDataFrame(
+        [(0, "alpha beta alpha gamma")], "doc_id int, text string"
+    )
+    ref = unigram_counts(ref_corpus)  # alpha:2 beta:1 gamma:1
+    new = spark.createDataFrame(
+        [(10, "alpha alpha"), (11, "unseen unseen")],
+        "doc_id int, text string",
+    )
+    out = {r["doc_id"]: r for r in
+           unigram_lm_scores(new, reference=ref).collect()}
+    N, V = 4, 3
+    p_alpha = (2 + 1) / (N + (V + 1))
+    p_oov = (0 + 1) / (N + (V + 1))
+    assert abs(out[10]["bits_per_token"] + math.log2(p_alpha)) < 1e-9
+    assert abs(out[11]["bits_per_token"] + math.log2(p_oov)) < 1e-9
+    assert out[11]["bits_per_token"] > out[10]["bits_per_token"]
