@@ -97,11 +97,14 @@ def sessionize_salted(
     through the running sum, so the result equals the unsalted operator
     exactly (asserted in tests on random + planted-hot-key data).
 
-    Cost: ONE full shuffle of events on (key, bucket) — same volume as
-    sessionize's (key) shuffle — plus two tiny exchanges of the
-    one-row-per-(key, bucket) summary and a co-partitioned join back.
-    Default bucket is 100x the gap (rarely-merging buckets, strong
-    spread); any positive width is correct."""
+    Cost: ONE full-width shuffle of events on (key, bucket) — same
+    volume as sessionize's (key) shuffle — plus a NARROW second
+    event-cardinality shuffle for the summary branch (Catalyst prunes
+    it to (key, ts, bucket) before its exchange, which is why the
+    full-width exchange isn't reused: ~24 bytes/row vs the full
+    payload), plus tiny summary-window exchanges and a co-partitioned
+    join back. Default bucket is 100x the gap (rarely-merging buckets,
+    strong spread); any positive width is correct."""
     key_cols = list(key_cols)
     gap_us = gap_seconds * 1_000_000
     bucket_us = (bucket_seconds or gap_seconds * 100) * 1_000_000

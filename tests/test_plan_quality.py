@@ -309,3 +309,65 @@ def test_lsh_family_single_scan(spark):
     )
     nd = cosine_near_duplicates(emb, threshold=0.9, n_planes=4, n_tables=4)
     assert plan_of(nd).count("FileScan parquet") == 2, plan_of(nd)
+
+
+def test_sessionize_salted_event_shuffle_is_bucketed(spark):
+    """Hot-key sessionize: the FULL event volume must shuffle exactly
+    once, on (key, bucket) — never on the bare key (that would re-
+    concentrate the hot key). The only other hash exchange carries the
+    one-row-per-(key, bucket) summary."""
+    from medea_ps_spark.operators.sessions import sessionize_salted
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    out = sessionize_salted(ev, 1800, ("user_id",), "ts",
+                            bucket_seconds=6 * 3600)
+    plan = plan_of(out)
+    # the event-volume window partitions by (user_id, _bkt)
+    assert "windowspecdefinition(user_id" in plan and "_bkt" in plan, plan
+    # 3 hash exchanges total: full-width events on (user_id, _bkt), the
+    # COLUMN-PRUNED (key, ts, bkt) summary branch on the same key (the
+    # pruning is why the full exchange isn't reused — and why the
+    # second shuffle is narrow), and the tiny per-key summary window
+    n_hash = plan.count("Exchange hashpartitioning")
+    assert n_hash <= 3, plan
+    bucketed = [
+        seg for seg in plan.split("Exchange hashpartitioning(")[1:]
+        if seg[: seg.index(")")].find("_bkt") >= 0
+    ]
+    assert 1 <= len(bucketed) <= 2, plan
+    # every window over raw events is bucket-split: no window sorts on
+    # the bare key below the aggregate (grep the Sort specs)
+    for seg in plan.split("Sort [")[1:]:
+        spec = seg[: seg.index("]")]
+        if "user_id" in spec and "_ts_us" in spec:
+            assert "_bkt" in spec, plan
+
+
+def test_asof_salted_no_candidate_explosion(spark):
+    """Hot-key as-of: still NO join node on the event path (the union +
+    window construction), buckets partition every window over the full
+    volume, and the only joins are the tiny carry-in attach."""
+    from medea_ps_spark.operators.asof import asof_join_salted
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    views = ev.where(F.col("event_type") == "view").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    out = asof_join_salted(
+        clicks, views, ["user_id"], "ts", ["value"],
+        bucket_width_us=6 * 3600 * 1_000_000, tiebreak_cols=["event_id"],
+    )
+    plan = plan_of(out)
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # full-volume windows all run per (user_id, _bkt)
+    assert "windowspecdefinition(user_id" in plan and "_bkt" in plan, plan
+    # the union of both sides shuffles once, bucketed
+    bucketed = [
+        seg for seg in plan.split("Exchange hashpartitioning(")[1:]
+        if seg[: seg.index(")")].find("_bkt") >= 0
+    ]
+    assert len(bucketed) <= 2, plan
