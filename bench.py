@@ -275,6 +275,8 @@ def bench_queries(spark) -> dict:
         "events_asof", "events_sessions_detail", "seq_packing", "mixture_sample",
         "text_repetition", "quantile_drift", "events_in_windows",
         "kmv_distinct", "events_rollup",
+        # round-4 operator
+        "text_lm_score",
     ]
     qs = em.queries()
     out = {}
@@ -486,8 +488,13 @@ def main():
         nonlocal info
         kind, n, rows = level
         spark = _open(kind, n)
-        if level not in warmed:
-            _row_validate_job(spark, rows)  # warm JIT/codegen, untimed
+        # local JVMs keep their codegen cache across spark.stop(), so
+        # one warm per level suffices; cluster EXECUTOR JVMs are fresh
+        # every session, so every cluster rep warms (untimed) first —
+        # the rule measures steady-state throughput, not JIT ramp
+        # (observed: cold 8-exec reps plateau ~2x above the warm time)
+        if kind == "c" or level not in warmed:
+            _row_validate_job(spark, rows)
             warmed.add(level)
         t, out = timed(_row_validate_job, spark, rows)
         times[level].append(t)
