@@ -49,6 +49,11 @@ def main() -> None:
     ap.add_argument("--vocab", type=int, default=50257)
     ap.add_argument("--max-len", type=int, default=8192)
     ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument(
+        "--metrics-only", action="store_true",
+        help="skip the violation-row sink; count table-level "
+             "violations with the aggregate-only fast paths",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -65,6 +70,7 @@ def main() -> None:
         args.checkpoint,
         id_column=args.id_col,
         partition_col=args.partition_col,
+        metrics_only=args.metrics_only,
     )
     print(json.dumps({"partitions": metrics}, sort_keys=True))
     spark.stop()

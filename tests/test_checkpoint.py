@@ -177,3 +177,39 @@ def test_incremental_rollup_maintenance(spark, tmp_path):
     )
     assert agg["n"] == grand["n_events"]
     assert abs(agg["v"] - grand["value_sum"]) < 1e-6
+
+
+def test_metrics_only_mode_counts_table_violations(spark, tmp_path):
+    """metrics_only skips the violation-row sink and reports the
+    table-level count via the aggregate-only fast paths — equal to the
+    row-sink run's metrics for the same constraints. (Own table: the
+    module fixture gets a parquet file deliberately corrupted by
+    test_changed_data_invalidates_partition.)"""
+    from medea_ps_spark.jobs.validate_job import build_registry
+    from medea_ps_spark.operators.runner import run_checkpointed_validation
+    from medea_ps_spark.sources.synthetic import ALLOWED_SOURCES
+
+    table_path = str(tmp_path / "seq")
+    synthetic.sequences(spark, 3_000, seed=7).write.partitionBy(
+        "source"
+    ).parquet(table_path)
+    reg = build_registry(vocab=50257, max_len=128,
+                         allowed_sources=ALLOWED_SOURCES)
+    m = run_checkpointed_validation(
+        spark, table_path, reg, str(tmp_path / "ck_m"), metrics_only=True
+    )
+    full = run_checkpointed_validation(
+        spark, table_path, reg, str(tmp_path / "ck_f")
+    )
+    assert set(m) == set(full)
+    for p in m:
+        assert m[p]["n_rows"] == full[p]["n_rows"]
+        assert m[p]["n_failed"] == full[p]["n_failed"]
+        assert "n_table_violations" in m[p]
+        # no violation parquet written in metrics-only mode
+        assert not os.path.exists(
+            str(tmp_path / "ck_m" / "out" / f"source={p}" / "violations")
+        )
+        assert os.path.exists(
+            str(tmp_path / "ck_f" / "out" / f"source={p}" / "violations")
+        )
