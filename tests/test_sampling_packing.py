@@ -388,3 +388,20 @@ def test_time_rollup_with_extra_keys(spark):
         for r in ev.groupBy("event_type").agg(F.count("*").alias("n")).collect()
     }
     assert {r["event_type"]: r["n_events"] for r in per_key_totals} == raw
+
+
+def test_ts_micros_units(spark):
+    from medea_ps_spark.operators.timeunits import ts_micros
+
+    df = spark.createDataFrame(
+        [(1.5, 1500, 1_500_000)], "s double, ms bigint, us bigint"
+    )
+    got = df.select(
+        ts_micros(df, "s", numeric_unit="s").alias("a"),
+        ts_micros(df, "ms", numeric_unit="ms").alias("b"),
+        ts_micros(df, "us").alias("c"),
+    ).collect()[0]
+    assert got["a"] == got["b"] == got["c"] == 1_500_000
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        ts_micros(df, "s", numeric_unit="m")
