@@ -158,6 +158,15 @@ def asof_join_salted(
     key_cols = list(key_cols)
     value_cols = list(value_cols)
     tiebreak_cols = list(tiebreak_cols)
+    internals = {"_bkt", "_ts_us_salt"} | {
+        p + c for c in value_cols for p in ("_loc_", "_fin_", "_cin_")
+    }
+    reserved = internals & (set(left.columns) | set(right.columns))
+    if reserved:
+        raise ValueError(
+            f"input columns collide with asof_join_salted internals: "
+            f"{sorted(reserved)}"
+        )
     both, l_side, order = _tagged_union(
         left, right, key_cols, time_col, value_cols, tiebreak_cols, strict
     )

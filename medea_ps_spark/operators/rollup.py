@@ -36,12 +36,20 @@ def time_rollup(
     value_col: str = "value",
     extra_keys: Sequence[str] = (),
     numeric_unit: str = "us",
+    key_grouping: bool = False,
 ) -> DataFrame:
     """(extra_keys..., day_us, hour_us, grain, n_events, value_sum):
     hourly rows plus their daily and total roll-ups from one
     grouping-set aggregation. ``grain`` ∈ {hour, day, total}; bucket
     columns are NULL above their grain. Numeric ``ts_col`` values are
-    epoch micros by default (engine convention — timeunits.ts_micros)."""
+    epoch micros by default (engine convention — timeunits.ts_micros).
+
+    ``key_grouping=True`` appends a ``grouping_<k>`` (0/1) column per
+    extra key: ROLLUP also rolls the extra keys away (per-key totals,
+    grand total), and a genuine NULL value in an extra key is otherwise
+    indistinguishable from that key's rolled-away level — the same
+    ambiguity class the GROUPING()-based ``grain`` fixes for the time
+    buckets (ADVICE r3). Off by default to keep the base schema."""
     us = ts_micros(df, ts_col, numeric_unit=numeric_unit)
     day = (F.floor(us / _US_PER_DAY) * _US_PER_DAY).cast("bigint")
     hour = (F.floor(us / _US_PER_HOUR) * _US_PER_HOUR).cast("bigint")
@@ -62,11 +70,23 @@ def time_rollup(
         .when(F.grouping("day_us") == 0, F.lit("day"))
         .otherwise(F.lit("total"))
     )
+    key_flags = (
+        [F.grouping(k).alias(f"grouping_{k}") for k in extra_keys]
+        if key_grouping
+        else []
+    )
     rolled = keyed.rollup(*extra_keys, "day_us", "hour_us").agg(
         grain.alias("grain"),
+        *key_flags,
         F.count(F.lit(1)).alias("n_events"),
         F.sum("_v").alias("value_sum"),
     )
     return rolled.select(
-        *extra_keys, "day_us", "hour_us", "grain", "n_events", "value_sum"
+        *extra_keys,
+        "day_us",
+        "hour_us",
+        "grain",
+        *[f"grouping_{k}" for k in extra_keys if key_grouping],
+        "n_events",
+        "value_sum",
     )

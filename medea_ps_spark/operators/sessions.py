@@ -110,6 +110,12 @@ def sessionize_salted(
     bucket_us = (bucket_seconds or gap_seconds * 100) * 1_000_000
     if bucket_us <= 0:
         raise ValueError("bucket_seconds must be positive")
+    reserved = {"_bkt", "_lsid", "_m", "_gstart"} & set(df.columns)
+    if reserved:
+        raise ValueError(
+            f"input columns collide with sessionize_salted internals: "
+            f"{sorted(reserved)}"
+        )
 
     evt = df.withColumn(
         TS_US_COL, ts_micros(df, time_col, numeric_unit=numeric_unit)

@@ -405,3 +405,43 @@ def test_ts_micros_units(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         ts_micros(df, "s", numeric_unit="m")
+
+
+def test_time_rollup_key_grouping_disambiguates_null_keys(spark):
+    """A genuine NULL extra-key value vs the key's rolled-away level:
+    indistinguishable by NULL-ness, separated by grouping_<k>."""
+    from medea_ps_spark.operators.rollup import time_rollup
+
+    base = 1_700_000_000 * 1_000_000
+    ev = spark.createDataFrame(
+        [(base, 1.0, "a"), (base + 1, 2.0, None)],
+        "ts bigint, value double, src string",
+    )
+    out = time_rollup(ev, extra_keys=("src",), key_grouping=True).collect()
+    # ROLLUP is hierarchical (src outermost), so src only rolls away at
+    # the grand total — where a REAL null-src per-key total (grouping 0)
+    # and the all-sources grand total (grouping 1) both show src=NULL
+    null_total = [
+        r for r in out if r["src"] is None and r["grain"] == "total"
+    ]
+    by_flag = {r["grouping_src"]: r for r in null_total}
+    assert set(by_flag) == {0, 1}
+    assert by_flag[0]["n_events"] == 1 and by_flag[0]["value_sum"] == 2.0
+    assert by_flag[1]["n_events"] == 2 and by_flag[1]["value_sum"] == 3.0
+    # and the null-src HOUR row is a real group, grouping 0
+    hr = [r for r in out if r["src"] is None and r["grain"] == "hour"]
+    assert len(hr) == 1 and hr[0]["grouping_src"] == 0
+
+
+def test_salted_operators_reject_reserved_columns(spark):
+    from medea_ps_spark.operators.asof import asof_join_salted
+    from medea_ps_spark.operators.sessions import sessionize_salted
+
+    df = spark.createDataFrame(
+        [("u", 1, 0)], "user_id string, ts_us bigint, _bkt bigint"
+    )
+    with pytest.raises(ValueError, match="_bkt"):
+        sessionize_salted(df, 10, ("user_id",), "ts_us")
+    with pytest.raises(ValueError, match="_bkt"):
+        asof_join_salted(df, df.selectExpr("user_id", "ts_us", "1.0 v"),
+                         ["user_id"], "ts_us", ["v"], bucket_width_us=10)
