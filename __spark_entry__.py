@@ -848,8 +848,11 @@ def q_events_asof(spark, sf_dir):
     """Point-in-time join: each click event gets the value of the
     user's latest view event at-or-before the click — the as-of
     operator Spark lacks natively, verified against DuckDB's built-in
-    ASOF JOIN."""
-    from medea_ps_spark.operators.asof import asof_join
+    ASOF JOIN. Runs the SALTED implementation (asof.py:asof_join_salted,
+    bit-identical to asof_join by test) so the hot-key-safe path — the
+    one a 100-TB run would use — is what the driver oracle certifies
+    (VERDICT r4 #2); 1-day time buckets spread any celebrity key."""
+    from medea_ps_spark.operators.asof import asof_join_salted
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     clicks = ev.where(F.col("event_type") == "click").select(
@@ -864,8 +867,9 @@ def q_events_asof(spark, sf_dir):
         .groupBy("user_id", "ts")
         .agg(F.max_by("value", "event_id").alias("value"))
     )
-    out = asof_join(clicks, views, ["user_id"], "ts", ["value"],
-                    suffix="_view")
+    out = asof_join_salted(clicks, views, ["user_id"], "ts", ["value"],
+                           bucket_width_us=86_400 * 1_000_000,
+                           suffix="_view")
     return out.select(
         "event_id", "user_id",
         F.round("value", 2).alias("value"),
@@ -878,10 +882,15 @@ def q_events_sessions_detail(spark, sf_dir):
     rollup via operators/sessions.py — one row per session with exact
     integer-µs bounds/durations (this subsumes round 2's summary-level
     ``events_sessions``, folded here for the driver's 50-row cap)."""
-    from medea_ps_spark.operators.sessions import session_stats, sessionize
+    from medea_ps_spark.operators.sessions import (
+        session_stats, sessionize_salted,
+    )
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    sess = sessionize(ev, gap_seconds=1800, key_cols=("user_id",))
+    # the SALTED implementation (sessions.py:sessionize_salted,
+    # bit-identical to sessionize by test) carries the driver oracle
+    # for the hot-key-safe path a 100-TB run would use (VERDICT r4 #2)
+    sess = sessionize_salted(ev, gap_seconds=1800, key_cols=("user_id",))
     return session_stats(sess, key_cols=("user_id",)).select(
         "user_id", "session_id", "start_us", "duration_us", "n_events",
         F.round("value_sum", 2).alias("value_sum"),
@@ -1766,7 +1775,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY c_mktsegment
         """,
         "text_lm_score": """
-            WITH t AS (
+            WITH t0 AS (
               SELECT doc_id,
                      unnest(string_split(
                        trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '
@@ -1774,7 +1783,17 @@ def oracle_sql() -> dict[str, str]:
               FROM documents
               WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0
             ),
-            freq AS (SELECT word, count(*) AS n FROM t GROUP BY word),
+            -- mirror the engine's pre-aggregated scoring join (VERDICT
+            -- r4 #4): distinct (doc, word) pairs with local counts, a
+            -- count-weighted mean after — same rationals as avg over
+            -- occurrences
+            t AS (
+              SELECT doc_id, word, CAST(count(*) AS BIGINT) AS k
+              FROM t0 GROUP BY doc_id, word
+            ),
+            freq AS (
+              SELECT word, CAST(sum(k) AS BIGINT) AS n FROM t GROUP BY word
+            ),
             tot AS (
               SELECT CAST(sum(n) AS DOUBLE) AS N,
                      CAST(count(*) AS DOUBLE) AS V
@@ -1782,9 +1801,10 @@ def oracle_sql() -> dict[str, str]:
             ),
             sc AS (
               SELECT doc_id,
-                     CAST(count(*) AS BIGINT) AS n_tokens,
-                     -avg(log2((f.n + 1.0) / (tot.N + 1.0 * (tot.V + 1))))
-                       AS bits
+                     CAST(sum(k) AS BIGINT) AS n_tokens,
+                     -(sum(k * log2((f.n + 1.0)
+                                    / (tot.N + 1.0 * (tot.V + 1))))
+                       / sum(k)) AS bits
               FROM t JOIN freq f USING (word), tot
               GROUP BY doc_id
             )

@@ -152,7 +152,12 @@ def asof_join_salted(
 
     ``bucket_width_us`` is in epoch MICROSECONDS (the engine-wide time
     convention — operators/timeunits). Timestamp columns are converted
-    internally; numeric columns are read per ``numeric_unit``."""
+    internally; numeric columns are read per ``numeric_unit``.
+
+    NULL keys / NULL times are retained exactly like :func:`asof_join`
+    (the unsalted window groups NULL keys; NULL times sort first): the
+    carry-in join is null-safe on every key plus the bucket, so no row
+    is dropped."""
     if bucket_width_us <= 0:
         raise ValueError("bucket_width_us must be positive")
     key_cols = list(key_cols)
@@ -222,7 +227,13 @@ def asof_join_salted(
             for c in value_cols
         ],
     )
-    joined = carried.join(carry_in, on=key_cols + ["_bkt"], how="inner")
+    # NULL-SAFE carry-in join (ADVICE r4): NULL keys (and NULL times,
+    # whose bucket is NULL) are matched by the unsalted twin's window
+    # partitionBy — which groups NULLs — so the stitch must match them
+    # too; eqNullSafe keeps this an equi-join for Catalyst.
+    from medea_ps_spark.operators.joinutil import null_safe_join
+
+    joined = null_safe_join(carried, carry_in, key_cols + ["_bkt"])
     final = joined.select(
         "*",
         *[

@@ -38,6 +38,12 @@ class PartitionEntry:
     status: str = "pending"  # pending | done | failed
     metrics: Dict = field(default_factory=dict)
     finished_at: Optional[float] = None
+    # what the completed run materialized: "rows" wrote the violation
+    # parquet (and is a superset of "metrics"); "metrics" wrote counts
+    # only. A later row-sink rerun must NOT skip metrics-only entries —
+    # their violation rows were never written (ADVICE r4). Manifests
+    # from before this field default to "rows" (the historical mode).
+    sink: str = "rows"
 
 
 @dataclass
@@ -145,7 +151,14 @@ class CheckpointedRun:
             if d.startswith(prefix) and os.path.isdir(os.path.join(root, d))
         )
 
-    def pending_partitions(self) -> List[str]:
+    def pending_partitions(self, sink: str = "rows") -> List[str]:
+        """Partitions needing (re)processing for the requested ``sink``
+        mode. An entry satisfies the request iff it is done at the same
+        snapshot+fingerprint AND its recorded sink covers the request:
+        "rows" covers both modes (it wrote the parquet and has the row
+        metrics); "metrics" covers only a metrics request — so a
+        row-mode rerun reprocesses metrics-only partitions and actually
+        materializes their violation rows."""
         out = []
         for p in self.partitions():
             snap = snapshot_id_for(self.table_path, f"{self.partition_col}={p}")
@@ -155,6 +168,7 @@ class CheckpointedRun:
                 or e.status != "done"
                 or e.snapshot_id != snap
                 or e.fingerprint != self.manifest.fingerprint
+                or (e.sink != "rows" and e.sink != sink)
             ):
                 out.append(p)
         return out
@@ -162,12 +176,15 @@ class CheckpointedRun:
     def run(
         self,
         process: Callable[[DataFrame, str], Dict],
+        sink: str = "rows",
     ) -> Dict[str, Dict]:
         """``process(partition_df, out_dir) -> metrics`` per pending
         partition. Partition pruning: the read targets exactly one
-        partition directory, so the scan never touches completed data."""
+        partition directory, so the scan never touches completed data.
+        ``sink`` labels what ``process`` materializes ("rows" |
+        "metrics") and is recorded per entry for mode-aware resume."""
         results: Dict[str, Dict] = {}
-        for p in self.pending_partitions():
+        for p in self.pending_partitions(sink=sink):
             pdir = f"{self.partition_col}={p}"
             snap = snapshot_id_for(self.table_path, pdir)
             # reading a leaf partition dir drops the partition column —
@@ -184,6 +201,7 @@ class CheckpointedRun:
                 status="done",
                 metrics=metrics,
                 finished_at=time.time(),
+                sink=sink,
             )
             self._save()
             results[p] = metrics

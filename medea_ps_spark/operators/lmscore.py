@@ -15,12 +15,15 @@ Model: Laplace-smoothed unigram over a reference corpus —
 Scale design (10^12 tokens):
 - the frequency table comes from ONE explode + groupBy (map-side
   combine: shuffle carries distinct words per partition, not tokens);
-- scoring joins exploded tokens to the freq table on the word — a
-  plain co-keyed shuffle join that Catalyst/AQE broadcasts whenever
-  the vocab fits (natural-language vocabs usually do: counts, not
-  text, move) — then one groupBy(doc) mean. Nothing is driver-side;
-  smoothing constants (N, V) ride as plan literals via a 1-row
-  cross-join, the same pattern the drift operators use.
+- scoring pre-aggregates to distinct (doc, word) pairs with a local
+  count BEFORE the join (partial+final hash agg), then joins those
+  pairs — not raw token occurrences — to the freq table on the word;
+  the join input is strictly smaller than the token stream (docs
+  repeat words heavily), and Catalyst/AQE broadcasts the freq side
+  whenever the vocab fits. One groupBy(doc) count-weighted mean
+  after. Nothing is driver-side; smoothing constants (N, V) ride as
+  plan literals via a 1-row cross-join, the same pattern the drift
+  operators use.
 - self-scoring (reference == corpus) has no OOV by construction;
   scoring AGAINST a frozen reference profile (the CCNet setup: score
   new crawl against trusted-corpus LM) hits the OOV bucket for unseen
@@ -73,11 +76,22 @@ def unigram_lm_scores(
         F.sum("n").cast("double").alias("_N"),
         F.count(F.lit(1)).cast("double").alias("_V"),
     )
-    toks = df.select(
-        F.col(id_col), F.explode(_words(text_col)).alias("word")
+    # PRE-AGGREGATE before the scoring join (VERDICT r4 #4): a document
+    # repeats words, so joining raw token occurrences to the freq table
+    # shuffles one row per occurrence (10^12 at corpus scale). Reducing
+    # to distinct (doc, word) pairs with a local count first is a
+    # partial+final hash agg whose join input is strictly smaller —
+    # natural-language docs repeat heavily — and the per-doc score
+    # becomes the count-weighted mean, the same rational number.
+    toks = (
+        df.select(F.col(id_col), F.explode(_words(text_col)).alias("word"))
+        .groupBy(id_col, "word")
+        .agg(F.count(F.lit(1)).alias("_k"))
     )
     joined = toks.join(freq, on="word", how="left").select(
-        id_col, F.coalesce(F.col("n"), F.lit(0)).cast("double").alias("_c")
+        id_col,
+        F.col("_k"),
+        F.coalesce(F.col("n"), F.lit(0)).cast("double").alias("_c"),
     )
     # smoothing denominator N + a*(V+1): V+1 buckets (vocab + OOV)
     logp = F.log2(
@@ -88,8 +102,10 @@ def unigram_lm_scores(
         joined.crossJoin(F.broadcast(totals))
         .groupBy(id_col)
         .agg(
-            F.count(F.lit(1)).alias("n_tokens"),
-            (-F.avg(logp)).alias("bits_per_token"),
+            F.sum("_k").alias("n_tokens"),
+            (-(F.sum(F.col("_k") * logp) / F.sum("_k"))).alias(
+                "bits_per_token"
+            ),
         )
     )
     return scored.select(

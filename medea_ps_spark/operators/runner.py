@@ -84,10 +84,12 @@ def run_checkpointed_validation(
     table-level violations with the aggregate-only fast paths
     (validator.unique_violation_count / referential_violation_count —
     no join-back, no anti-join): the mode for routine 10^12-row health
-    runs, ~2x cheaper on the table-check phase; re-run without the
-    flag to materialize rows (the changed fingerprint is NOT affected —
-    the constraint set is identical, so completed partitions stay
-    skipped and only the sink differs)."""
+    runs, ~2x cheaper on the table-check phase. The sink mode is
+    recorded PER MANIFEST ENTRY (ADVICE r4): re-running WITHOUT the
+    flag reprocesses partitions that completed metrics-only (their
+    violation rows were never written) and materializes the rows, while
+    partitions that already completed in row mode stay skipped in
+    either mode ("rows" is a superset of "metrics")."""
     from ..plans.compiler import fingerprint_set
     from ..plans.constraints import ReferentialIn, Unique
 
@@ -121,4 +123,4 @@ def run_checkpointed_validation(
             out["n_table_violations"] = n_table
         return out
 
-    return ck.run(process)
+    return ck.run(process, sink="metrics" if metrics_only else "rows")

@@ -29,6 +29,7 @@ from typing import Sequence
 
 from pyspark.sql import DataFrame, Window, functions as F
 
+from medea_ps_spark.operators.joinutil import null_safe_join as _null_safe_join
 from medea_ps_spark.operators.timeunits import ts_micros
 
 SESSION_COL = "session_id"
@@ -41,33 +42,43 @@ def sessionize(
     key_cols: Sequence[str] = ("user_id",),
     time_col: str = "ts",
     numeric_unit: str = "us",
+    tiebreak_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Adds ``session_id`` (0-based per key, ordered by time) and
     ``_ts_us``: a new session starts at the first event and at every
     event MORE than ``gap_seconds`` after its predecessor (an event at
     exactly +gap still joins — the same boundary rule as Spark's native
     ``session_window``, so batch and streaming sessionization agree).
-    Ties on time are ordered deterministically only if the caller's
-    time values are unique per key (true for microsecond event logs);
-    equal-time events always share a session either way.
+
+    Session MEMBERSHIP is deterministic even with duplicate timestamps
+    (equal-time events always share a session: only the first row of an
+    equal-time group can carry a boundary flag, and the flag depends on
+    the previous DISTINCT time, so every row of the group gets the same
+    running sum regardless of intra-group order). ``tiebreak_cols``
+    additionally pins the ROW ORDER among equal-time events (pass the
+    event's unique id) so downstream order-sensitive consumers — e.g.
+    first/last-event-in-session features — are deterministic too, the
+    same knob :func:`asof_join` exposes.
 
     Numeric ``time_col`` values are EPOCH MICROSECONDS by default (the
     engine-wide convention, shared with rollup/rangejoin/asof via
-    operators/timeunits.ts_micros); pass ``numeric_unit="s"``/``"ms"``
-    for other units."""
+    operators/timeunits.ts_micros — NOTE this default changed from
+    seconds in round 4); pass ``numeric_unit="s"``/``"ms"`` for other
+    units."""
     key_cols = list(key_cols)
+    order = [F.col(TS_US_COL).asc()] + [
+        F.col(c).asc_nulls_first() for c in tiebreak_cols
+    ]
     out = df.withColumn(
         TS_US_COL, ts_micros(df, time_col, numeric_unit=numeric_unit)
     )
-    w = Window.partitionBy(*key_cols).orderBy(TS_US_COL)
+    w = Window.partitionBy(*key_cols).orderBy(*order)
     prev = F.lag(F.col(TS_US_COL)).over(w)
     new_session = (
         prev.isNull()
         | (F.col(TS_US_COL) - prev > gap_seconds * 1_000_000)
     ).cast("bigint")
-    run = Window.partitionBy(*key_cols).orderBy(TS_US_COL).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return out.withColumn(
         SESSION_COL, F.sum(new_session).over(run) - F.lit(1)
     )
@@ -80,6 +91,7 @@ def sessionize_salted(
     time_col: str = "ts",
     bucket_seconds: int | None = None,
     numeric_unit: str = "us",
+    tiebreak_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Hot-key-safe :func:`sessionize` — BIT-IDENTICAL output columns
     (``session_id``, ``_ts_us``), but no single task ever holds a key's
@@ -104,10 +116,17 @@ def sessionize_salted(
     full-width exchange isn't reused: ~24 bytes/row vs the full
     payload), plus tiny summary-window exchanges and a co-partitioned
     join back. Default bucket is 100x the gap (rarely-merging buckets,
-    strong spread); any positive width is correct."""
+    strong spread); any positive width is correct.
+
+    NULL keys and NULL times are retained exactly like the unsalted
+    operator (window partitionBy groups NULL keys together; NULL times
+    sort first and each start their own session): the stitch join is
+    null-safe on every key plus the bucket, so no row is dropped."""
     key_cols = list(key_cols)
     gap_us = gap_seconds * 1_000_000
-    bucket_us = (bucket_seconds or gap_seconds * 100) * 1_000_000
+    bucket_s = bucket_seconds if bucket_seconds is not None \
+        else gap_seconds * 100
+    bucket_us = bucket_s * 1_000_000
     if bucket_us <= 0:
         raise ValueError("bucket_seconds must be positive")
     reserved = {"_bkt", "_lsid", "_m", "_gstart"} & set(df.columns)
@@ -125,7 +144,10 @@ def sessionize_salted(
         "_bkt", F.expr(f"{TS_US_COL} div {bucket_us}")
     )
 
-    w = Window.partitionBy(*key_cols, "_bkt").orderBy(TS_US_COL)
+    order = [F.col(TS_US_COL).asc()] + [
+        F.col(c).asc_nulls_first() for c in tiebreak_cols
+    ]
+    w = Window.partitionBy(*key_cols, "_bkt").orderBy(*order)
     prev = F.lag(F.col(TS_US_COL)).over(w)
     new_local = (
         prev.isNull() | (F.col(TS_US_COL) - prev > gap_us)
@@ -158,7 +180,13 @@ def sessionize_salted(
         .withColumn("_gstart", gstart)
         .select(*key_cols, "_bkt", "_m", "_gstart")
     )
-    out = evt.join(summary, on=key_cols + ["_bkt"], how="inner")
+    # NULL-SAFE stitch (ADVICE r4): a plain USING join drops rows whose
+    # key (or time -> bucket) is NULL, while the unsalted twin's window
+    # groups them; eqNullSafe (`<=>`) is still an equi-join key for
+    # Catalyst, so this stays a hash/sort-merge join. The summary side
+    # is renamed first — it derives from `evt`, and a self-join on raw
+    # column references would be silently ambiguous.
+    out = _null_safe_join(evt, summary, key_cols + ["_bkt"])
     out = out.withColumn(
         SESSION_COL, F.col("_gstart") + F.col("_lsid") - F.col("_m")
     )
