@@ -213,3 +213,43 @@ def test_metrics_only_mode_counts_table_violations(spark, tmp_path):
         assert os.path.exists(
             str(tmp_path / "ck_f" / "out" / f"source={p}" / "violations")
         )
+
+
+def test_sink_mode_switch_reprocesses_metrics_only(spark, tmp_path):
+    """ADVICE r4: a partition completed metrics-only wrote NO violation
+    parquet, so a later row-mode rerun on the SAME checkpoint dir must
+    reprocess it (the manifest records the sink per entry) — and once
+    rows are materialized, a metrics-only rerun skips everything
+    ("rows" covers both modes)."""
+    from medea_ps_spark.jobs.validate_job import build_registry
+    from medea_ps_spark.operators.runner import run_checkpointed_validation
+    from medea_ps_spark.sources.synthetic import ALLOWED_SOURCES
+
+    table_path = str(tmp_path / "seq")
+    synthetic.sequences(spark, 3_000, seed=11).write.partitionBy(
+        "source"
+    ).parquet(table_path)
+    reg = build_registry(vocab=50257, max_len=128,
+                         allowed_sources=ALLOWED_SOURCES)
+    ck = str(tmp_path / "ck")
+    m = run_checkpointed_validation(
+        spark, table_path, reg, ck, metrics_only=True
+    )
+    assert m  # every partition processed metrics-only
+    for p in m:
+        assert not os.path.exists(
+            os.path.join(ck, "out", f"source={p}", "violations")
+        )
+    # row-mode rerun on the SAME dir: metrics-only entries do NOT
+    # satisfy it — all partitions reprocess and rows materialize
+    full = run_checkpointed_validation(spark, table_path, reg, ck)
+    assert set(full) == set(m)
+    for p in full:
+        assert os.path.exists(
+            os.path.join(ck, "out", f"source={p}", "violations")
+        )
+    # and a metrics-only rerun now skips everything: rows ⊇ metrics
+    again = run_checkpointed_validation(
+        spark, table_path, reg, ck, metrics_only=True
+    )
+    assert again == {}

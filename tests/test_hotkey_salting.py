@@ -197,3 +197,177 @@ def test_asof_salted_spreads_hot_key(spark, no_aqe):
         )
         == 1
     )
+
+
+# -- round-5 additions: NULL retention, tie determinism, seeded fuzz --
+
+_NULL_SCHEMA = "user_id string, ts_us long, value double"
+
+
+def _null_rows():
+    """Adversarial null layout: NULL keys with real times, real keys
+    with NULL times, a row with both NULL, equal-ts bursts on both —
+    the cases ADVICE r4 flagged as silently dropped by a non-null-safe
+    stitch join."""
+    base = 1_700_000_000 * US
+    rows = []
+    for uid in ("a", "b", None):
+        t = base
+        for i in range(40):
+            t += (i * 37 % 250) * US  # includes 0-gaps (equal-ts burst)
+            rows.append((uid, t, float(i % 7)))
+        rows.append((uid, None, 1.0))  # NULL time
+        rows.append((uid, None, None))
+    rows.append((None, None, None))
+    return rows
+
+
+@pytest.mark.parametrize("bucket_s", [30, 150])
+def test_sessionize_salted_retains_null_keys_and_times(spark, bucket_s):
+    ev = spark.createDataFrame(_null_rows(), _NULL_SCHEMA)
+    want = sessionize(ev, GAP_S, ("user_id",), "ts_us").select(
+        "user_id", "ts_us", "value", SESSION_COL
+    )
+    got = sessionize_salted(
+        ev, GAP_S, ("user_id",), "ts_us", bucket_seconds=bucket_s
+    ).select("user_id", "ts_us", "value", SESSION_COL)
+    # no row lost: the stitch join is null-safe
+    assert got.count() == ev.count()
+    assert want.exceptAll(got).count() == 0
+    assert got.exceptAll(want).count() == 0
+
+
+def test_asof_salted_retains_null_keys_and_times(spark):
+    base = 1_700_000_000 * US
+    left = spark.createDataFrame(
+        [(u, base + i * 61 * US if i % 9 else None, float(i))
+         for u in ("a", None) for i in range(60)],
+        "user_id string, ts_us long, lv double",
+    )
+    right = spark.createDataFrame(
+        [(u, base + (i % 20) * 997 * US if i % 5 else None,
+          float(i % 13) if i % 7 else None, i)
+         for u in ("a", None) for i in range(25)],
+        "user_id string, ts_us long, ref_value double, rid int",
+    )
+    kwargs = dict(key_cols=["user_id"], time_col="ts_us",
+                  value_cols=["ref_value"], tiebreak_cols=["rid"])
+    want = asof_join(left, right, **kwargs)
+    got = asof_join_salted(
+        left, right, bucket_width_us=5_000 * US, **kwargs
+    ).select(*want.columns)
+    assert got.count() == left.count()
+    assert want.exceptAll(got).count() == 0
+    assert got.exceptAll(want).count() == 0
+
+
+def test_sessionize_duplicate_ts_ids_deterministic(spark):
+    """VERDICT r4 #5: planted duplicate-timestamp events — session ids
+    must be stable regardless of input partitioning/order (membership
+    depends only on the previous DISTINCT time), and tiebreak_cols is
+    accepted for row-order determinism."""
+    base = 1_700_000_000 * US
+    rows = []
+    eid = 0
+    for u in ("a", "b"):
+        t = base
+        for burst in range(6):
+            t += (GAP_S * US * 2 if burst % 2 else 10 * US)
+            for _ in range(4):  # 4 events at the SAME microsecond
+                rows.append((u, t, eid))
+                eid += 1
+    ev = spark.createDataFrame(rows, "user_id string, ts_us long, event_id long")
+    a = sessionize(
+        ev, GAP_S, ("user_id",), "ts_us", tiebreak_cols=("event_id",)
+    ).select("user_id", "event_id", SESSION_COL)
+    b = sessionize(
+        ev.repartition(7, "event_id"), GAP_S, ("user_id",), "ts_us",
+        tiebreak_cols=("event_id",),
+    ).select("user_id", "event_id", SESSION_COL)
+    c = sessionize_salted(
+        ev.orderBy(F.desc("event_id")), GAP_S, ("user_id",), "ts_us",
+        bucket_seconds=GAP_S, tiebreak_cols=("event_id",),
+    ).select("user_id", "event_id", SESSION_COL)
+    ra = {(r[0], r[1]): r[2] for r in a.collect()}
+    rb = {(r[0], r[1]): r[2] for r in b.collect()}
+    rc = {(r[0], r[1]): r[2] for r in c.collect()}
+    assert ra == rb == rc
+    # equal-time events always share a session
+    burst_ids = {}
+    for (u, e), sid in ra.items():
+        burst_ids.setdefault((u, e // 4), set()).add(sid)
+    assert all(len(s) == 1 for s in burst_ids.values())
+
+
+def test_salted_twins_fuzz_bit_identity(spark):
+    """VERDICT r4 #7: seeded randomized sweep over gap/bucket combos
+    (incl. bucket << gap), equal-ts bursts, null keys/times/payloads —
+    ~100 generated key-cases per operator family, asserting exact
+    bit-identity between the salted and unsalted twins (the fuzz
+    analogue of test_parser_fuzz)."""
+    import random
+
+    rng = random.Random(0xC0FFEE)
+    base = 1_700_000_000 * US
+
+    for case in range(6):
+        gap_s = rng.choice([5, 60, 100])
+        bucket_s = rng.choice([1, max(1, gap_s // 2), gap_s * 3, gap_s * 100])
+        rows = []
+        for k in range(16):  # 6 sweeps x 16 keys ≈ 96 key-cases
+            uid = None if k == 15 else f"k{k}"
+            t = base + rng.randrange(0, 10**6)
+            for _ in range(rng.randrange(1, 50)):
+                r = rng.random()
+                if r < 0.05:
+                    rows.append((uid, None, None))
+                    continue
+                if r > 0.25:  # 75%: advance; else equal-ts burst
+                    t += rng.randrange(0, gap_s * 3 * US + 1)
+                rows.append((uid, t,
+                             None if rng.random() < 0.1
+                             else float(rng.randrange(100))))
+        ev = spark.createDataFrame(rows, _NULL_SCHEMA).repartition(5)
+        want = sessionize(ev, gap_s, ("user_id",), "ts_us").select(
+            "user_id", "ts_us", "value", SESSION_COL
+        )
+        got = sessionize_salted(
+            ev, gap_s, ("user_id",), "ts_us", bucket_seconds=bucket_s
+        ).select("user_id", "ts_us", "value", SESSION_COL)
+        label = f"case={case} gap={gap_s} bucket={bucket_s}"
+        assert want.exceptAll(got).count() == 0, label
+        assert got.exceptAll(want).count() == 0, label
+
+    for case in range(4):
+        strict = rng.random() < 0.5
+        bucket_us = rng.choice([7 * US, 997 * US, 50_000 * US])
+        lrows, rrows = [], []
+        for k in range(12):
+            uid = None if k == 11 else f"k{k}"
+            for i in range(rng.randrange(1, 25)):
+                ts = (None if rng.random() < 0.05
+                      else base + rng.randrange(0, 200_000) * US)
+                lrows.append((uid, ts, float(len(lrows))))
+            for i in range(rng.randrange(0, 10)):
+                ts = (None if rng.random() < 0.05
+                      else base + rng.randrange(0, 200) * 997 * US)
+                rrows.append((uid, ts,
+                              None if rng.random() < 0.2
+                              else float(rng.randrange(83)),
+                              len(rrows)))
+        left = spark.createDataFrame(
+            lrows, "user_id string, ts_us long, lv double"
+        ).repartition(5)
+        right = spark.createDataFrame(
+            rrows, "user_id string, ts_us long, ref_value double, rid int"
+        ).repartition(5)
+        kwargs = dict(key_cols=["user_id"], time_col="ts_us",
+                      value_cols=["ref_value"], strict=strict,
+                      tiebreak_cols=["rid"])
+        want = asof_join(left, right, **kwargs)
+        got = asof_join_salted(
+            left, right, bucket_width_us=bucket_us, **kwargs
+        ).select(*want.columns)
+        label = f"case={case} strict={strict} bucket={bucket_us}"
+        assert want.exceptAll(got).count() == 0, label
+        assert got.exceptAll(want).count() == 0, label

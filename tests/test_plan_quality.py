@@ -371,3 +371,24 @@ def test_asof_salted_no_candidate_explosion(spark):
         if seg[: seg.index(")")].find("_bkt") >= 0
     ]
     assert len(bucketed) <= 2, plan
+
+
+def test_lmscore_join_input_is_preaggregated(spark):
+    """VERDICT r4 #4: the unigram-LM scoring join must consume distinct
+    (doc, word) pairs with local counts — NOT raw token occurrences
+    (10^12 rows at corpus scale). Gate: a (doc_id, word)-keyed
+    aggregate sits between the explode and the word join, and the
+    post-join aggregate is the count-weighted mean (sum(_k * logp))."""
+    import re
+
+    from medea_ps_spark.operators.lmscore import unigram_lm_scores
+
+    spark.catalog.clearCache()
+    df = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = plan_of(unigram_lm_scores(df, "text", "doc_id"))
+    # pre-aggregation feeding the scoring join
+    assert re.search(r"HashAggregate\(keys=\[doc_id#\d+L?, word#", plan), plan
+    # weighted-mean aggregate consumes the local counts
+    assert re.search(r"sum\(\(cast\(_k#\d+L as double\) \* LOG2", plan), plan
+    # freq side broadcasts (counts move, not text)
+    assert "BroadcastHashJoin" in plan, plan
