@@ -59,6 +59,11 @@ SEQ_ROWS = int(os.environ.get("MEDEA_BENCH_SEQ_ROWS", "1500000"))
 # 32-core job is ~20s and the 8-core ~70s: compute dominates, min-of-N
 # converges, and the efficiency ratio reflects the engine, not the box.
 SEQ_ROWS_BIG = SEQ_ROWS * int(os.environ.get("MEDEA_BENCH_BIG_MULT", "16"))
+# pair A input: 4x SEQ_ROWS (6M). At 1.5M the 8-core level runs ~5s and
+# a single storm burst inside that 5s window swung per-window ratios
+# 0.34-1.05 (round-5 run); at 6M both levels run long enough (~18s /
+# ~70s on a clean host) that no sub-minute burst owns a whole level.
+SEQ_ROWS_MID = SEQ_ROWS * int(os.environ.get("MEDEA_BENCH_MID_MULT", "4"))
 RUN_SCALING = os.environ.get("MEDEA_BENCH_SCALING", "1") != "0"
 SEQ_MAX_LEN = 2048  # bench sequence-length cap (mean ~512 tokens/row)
 
@@ -291,15 +296,17 @@ def bench_queries(spark) -> dict:
     qs = em.queries()
     out = {}
     for name in picks:
-        t0 = time.time()
-        n = qs[name](spark, SF_DIR).count()
-        best = time.time() - t0
-        # min-of-3 for every query under 15s (VERDICT r2 item 4, then
-        # observed again in r3: a storm window can multiply a 5s LSH
-        # query 8x, and with only two attempts BOTH can land in the
-        # same burst); only the long tail stays single-shot
-        tries = 2 if best < 15.0 else 0
-        for _ in range(tries):
+        # ALWAYS at least 2 attempts, a 3rd while best stays under 15s:
+        # gating the retry on the FIRST attempt alone misfired in the
+        # round-5 storm run — a clean-2.2s query whose first attempt
+        # landed in a burst measured 20s, crossed the old >=15s
+        # single-shot gate, and was recorded 9x over its real time.
+        # min-of-N across attempts is the statistic (VERDICT r2 item 4;
+        # storms multiply, they never make a query faster).
+        best = float("inf")
+        for attempt in range(3):
+            if attempt == 2 and best >= 15.0:
+                break
             t0 = time.time()
             n = qs[name](spark, SF_DIR).count()
             best = min(best, time.time() - t0)
@@ -506,13 +513,14 @@ def main():
     spark = _session(CPUS)
     _materialize_input(spark, SEQ_ROWS)
     if RUN_SCALING:
+        _materialize_input(spark, SEQ_ROWS_MID)
         _materialize_input(spark, SEQ_ROWS_BIG)
     spark.stop()
 
     # -- scaling evidence (north rule: throughput at N and 4N executors,
     # efficiency >= 0.8), three N->4N pairs, each input-sized so compute
     # dominates the ~0.5-1.1s fixed driver/stage overhead:
-    #   pair A: 2 -> 8 cores at SEQ_ROWS;
+    #   pair A: 2 -> 8 cores at 4x SEQ_ROWS (see SEQ_ROWS_MID note);
     #   pair B: 8 -> 32 cores at 16x SEQ_ROWS (the headline run);
     #   pair C: 2 -> 8 executor JVMs (local-cluster) at 16x SEQ_ROWS.
     #
@@ -531,7 +539,7 @@ def main():
     # driver JVM; kind "c" = local-cluster[n,4,mem] — n SEPARATE
     # executor JVMs x 4 cores with independent heaps/GC/shuffle pools
     # (the rule AS STATED: N vs 4N executors).
-    L_PAIR_A = (("l", 2, SEQ_ROWS), ("l", small, SEQ_ROWS))
+    L_PAIR_A = (("l", 2, SEQ_ROWS_MID), ("l", small, SEQ_ROWS_MID))
     L_PAIR_B = (("l", small, SEQ_ROWS_BIG), ("l", CPUS, SEQ_ROWS_BIG))
     C_PAIR = (("c", 2, SEQ_ROWS_BIG), ("c", 8, SEQ_ROWS_BIG))
     creps = int(os.environ.get("MEDEA_BENCH_CLUSTER_REPS", "3"))
