@@ -564,6 +564,16 @@ def main():
     def _open(kind, n):
         return _session(n) if kind == "l" else _cluster_session(n)
 
+    # cluster levels take min-of-2 timed reps INSIDE each window: their
+    # jobs are the shortest (~25s warm on the 8-exec level) relative to
+    # this host's sub-minute bursts, and with a single timed rep one
+    # burst owns a whole level and the window's ratio with it (round-5
+    # run 2: per-window exec ratios 0.28-1.42 under storm). Min within
+    # the window kills positive bursts without breaking the same-window
+    # pairing; the cross-window statistic stays the median.
+    cluster_timed = max(1, int(os.environ.get("MEDEA_BENCH_CLUSTER_TIMED",
+                                              "2")))
+
     def _run_level(level):
         nonlocal info
         kind, n, rows = level
@@ -576,12 +586,15 @@ def main():
         if kind == "c" or level not in warmed:
             _row_validate_job(spark, rows)
             warmed.add(level)
-        t, out = timed(_row_validate_job, spark, rows)
-        times[level].append(t)
+        best = float("inf")
+        for _ in range(cluster_timed if kind == "c" else 1):
+            t, out = timed(_row_validate_job, spark, rows)
+            times[level].append(t)
+            best = min(best, t)
         if rows == (SEQ_ROWS_BIG if RUN_SCALING else SEQ_ROWS):
             info = out
         spark.stop()
-        return t
+        return best
 
     def _window(pair_name, widx, probe_eff):
         """One paired window: lo + hi back-to-back (alternating order)
