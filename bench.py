@@ -564,15 +564,20 @@ def main():
     def _open(kind, n):
         return _session(n) if kind == "l" else _cluster_session(n)
 
-    # cluster levels take min-of-2 timed reps INSIDE each window: their
-    # jobs are the shortest (~25s warm on the 8-exec level) relative to
-    # this host's sub-minute bursts, and with a single timed rep one
-    # burst owns a whole level and the window's ratio with it (round-5
-    # run 2: per-window exec ratios 0.28-1.42 under storm). Min within
-    # the window kills positive bursts without breaking the same-window
+    # cluster levels AND the big-input (pair B) local levels take
+    # min-of-2 timed reps INSIDE each window: with a single timed rep
+    # one sub-minute host burst owns a whole level and the window's
+    # ratio with it (round-5 run 2: per-window exec ratios 0.28-1.42;
+    # run 3: 8->32 windows 0.159-0.715 under a sustained storm where
+    # local[32] reps swung 22.5->106s while local[8] held 56-68s — the
+    # wide level suffers contention disproportionately, so a second
+    # chance per level matters most exactly there). Min within the
+    # window kills positive bursts without breaking the same-window
     # pairing; the cross-window statistic stays the median.
     cluster_timed = max(1, int(os.environ.get("MEDEA_BENCH_CLUSTER_TIMED",
                                               "2")))
+    local_big_timed = max(1, int(os.environ.get("MEDEA_BENCH_LOCAL_TIMED",
+                                                "2")))
 
     def _run_level(level):
         nonlocal info
@@ -587,7 +592,13 @@ def main():
             _row_validate_job(spark, rows)
             warmed.add(level)
         best = float("inf")
-        for _ in range(cluster_timed if kind == "c" else 1):
+        if kind == "c":
+            n_timed = cluster_timed
+        elif RUN_SCALING and rows == SEQ_ROWS_BIG:
+            n_timed = local_big_timed
+        else:
+            n_timed = 1
+        for _ in range(n_timed):
             t, out = timed(_row_validate_job, spark, rows)
             times[level].append(t)
             best = min(best, t)
