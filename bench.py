@@ -7,7 +7,7 @@ rows + uniqueness + referential). The north rule's two-cluster-size
 scaling criterion (efficiency >= 0.8 between N and 4N) is evidenced on
 THREE N->4N pairs, each sized so compute dominates fixed driver/stage
 overhead (~0.5-1.1 s/job on this host):
-  * 2 -> 8 cores at SEQ_ROWS (1.5M) — ~20s/5s jobs;
+  * 2 -> 8 cores at 4x SEQ_ROWS (6M) — ~58s/17s jobs;
   * 8 -> 32 cores at 16x SEQ_ROWS (24M) — ~70s/20s jobs (at 6M the
     32-core job is 5-6s and the measurement is owned by JIT ramp +
     noise bursts; 16x input exits that regime, per VERDICT r2 item 4);
@@ -45,6 +45,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
+T0 = time.time()  # process start, for the adaptive-loop wall budget
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # driver heap must be fixed BEFORE the first JVM launch in this process;
@@ -594,7 +595,9 @@ def main():
         best = float("inf")
         if kind == "c":
             n_timed = cluster_timed
-        elif RUN_SCALING and rows == SEQ_ROWS_BIG:
+        elif RUN_SCALING and rows in (SEQ_ROWS_BIG, SEQ_ROWS_MID):
+            # pair A too: run-4 had a single-rep 6M window measure
+            # 0.296 when a storm owned one level's only rep
             n_timed = local_big_timed
         else:
             n_timed = 1
@@ -650,16 +653,22 @@ def main():
         # -- adaptive evidence recovery: fund extra paired windows for
         # just the pairs still below target (raw for A, raw-or-
         # normalized for the 8->32-scale pairs B/C whose ceiling is the
-        # VM itself), until target or the window budget is hit.
+        # VM itself), until target, the window budget, or the WALL
+        # budget is hit. The wall budget keeps a storm-weather run from
+        # stretching the whole bench unboundedly (each extra exec
+        # window is ~4-5 min): base windows always run; extras only
+        # while elapsed process time is under the budget.
         target = float(os.environ.get("MEDEA_BENCH_EFF_TARGET", "0.82"))
         max_extra = int(os.environ.get("MEDEA_BENCH_EXTRA_REPS", "4"))
+        wall_budget = float(
+            os.environ.get("MEDEA_BENCH_WALL_BUDGET", "4200"))
         for widx in range(reps, reps + max_extra):
             need = [
                 name for name in pair_names
                 if (_eff(name) < target
                     and (name == "2to8" or _norm(name) < target))
             ]
-            if not need:
+            if not need or (time.time() - T0) > wall_budget:
                 break
             pe = _probe()
             for name in need:
@@ -704,6 +713,7 @@ def main():
         detail["host_probe_8p_all_sec"] = probe_times[8]
         detail["host_probe_32p_all_sec"] = probe_times[32]
         detail["stat"] = "median of per-window paired ratios"
+        detail["elapsed_sec_at_scaling_end"] = round(time.time() - T0, 1)
 
     spark = _session(CPUS)
     t_full, info = timed(_validate_job, spark, head_rows)
