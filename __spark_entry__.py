@@ -296,6 +296,32 @@ def DD_fingerprints(df):
     return df.select(F.col("doc_id"), fingerprint(F.col("text")).alias("fingerprint"))
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Steady-state dedup: a synthetic ingest batch (re-crawled copies
+    of corpus docs under new ids + genuinely new ' v2' docs, the latter
+    planted twice for within-batch dups) anti-joined against the corpus
+    fingerprint set — survivors are exactly the fresh texts, one per
+    fingerprint (min-id keep). Exercises dedup.incremental_dedup."""
+    from medea_ps_spark.operators.dedup import incremental_dedup
+
+    df = _docs(spark, sf_dir)
+    recrawl = df.where(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    fresh_a = (
+        df.where(F.col("doc_id") % 5 == 1)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(2000000))
+        .withColumn("text", F.concat(F.col("text"), F.lit(" v2")))
+    )
+    fresh_b = (
+        df.where(F.col("doc_id") % 5 == 1)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(3000000))
+        .withColumn("text", F.concat(F.col("text"), F.lit(" v2")))
+    )
+    batch = recrawl.unionByName(fresh_a).unionByName(fresh_b)
+    return incremental_dedup(batch, df, "text", "doc_id")
+
+
 def q_dedup_ngram_jaccard(spark, sf_dir):
     df = _docs(spark, sf_dir).where(F.col("doc_id") < 120)
     pairs = DD.ngram_jaccard_pairs(df, "text", "doc_id", shingle_k=3, threshold=0.12)
@@ -635,6 +661,62 @@ def q_orders_by_segment(spark, sf_dir):
             F.count(F.lit(1)).alias("n_orders"),
             F.round(F.sum("o_totalprice"), 2).alias("total_price"),
         )
+    )
+
+
+def q_table_diff(spark, sf_dir):
+    """Snapshot reconciliation (operators/tablediff.py): diff the orders
+    table against a deterministically perturbed next-day snapshot —
+    %97 keys deleted, %89 priorities rewritten, %91 statuses rewritten,
+    %101 keys re-ingested under shifted ids — and emit the per-key
+    change verdicts with the sorted changed-column list."""
+    from medea_ps_spark.operators.tablediff import table_diff
+
+    old = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    new = (
+        old.where(F.col("o_orderkey") % 97 != 0)
+        .withColumn(
+            "o_orderpriority",
+            F.when(
+                F.col("o_orderkey") % 89 == 0,
+                F.concat(F.lit("X-"), F.col("o_orderpriority")),
+            ).otherwise(F.col("o_orderpriority")),
+        )
+        .withColumn(
+            "o_orderstatus",
+            F.when(F.col("o_orderkey") % 91 == 0, F.lit("X")).otherwise(
+                F.col("o_orderstatus")
+            ),
+        )
+        .unionByName(
+            old.where(F.col("o_orderkey") % 101 == 0).withColumn(
+                "o_orderkey", F.col("o_orderkey") + F.lit(1000000000)
+            )
+        )
+    )
+    return table_diff(
+        old,
+        new,
+        ["o_orderkey"],
+        ["o_custkey", "o_orderstatus", "o_totalprice", "o_orderdate",
+         "o_orderpriority"],
+    )
+
+
+def q_quality_model(spark, sf_dir):
+    """Hashed-feature linear quality classifier
+    (operators/qualitymodel.py): fastText-style unigram+bigram hashing
+    scorer over documents — exact integer milli-unit weights/sums so the
+    verdicts reproduce bit-identically in the SQL oracle."""
+    from medea_ps_spark.operators.qualitymodel import quality_score
+
+    df = _docs(spark, sf_dir)
+    out = quality_score(df, "text", "doc_id", threshold_milli=0)
+    return out.select(
+        "doc_id",
+        F.col("n_features").cast("bigint").alias("n_features"),
+        "score_milli",
+        "quality_label",
     )
 
 
@@ -1057,16 +1139,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     events_sessions / events_hourly (strictly weaker summaries of
     events_sessions_detail / events_rollup), unique_violations (0-row
     documents twin of the seeded seq_unique_violations). The round-3
-    additions sit in the first half so a cap can never drop them."""
+    additions sit in the first half so a cap can never drop them.
+
+    Round 5 folded three more grouping/composition twins to make room
+    for three new first-class operators at the same slots:
+    histogram_n_chars → (seq_token_histogram keeps the histogram
+    signal; q_histogram_n_chars stays for the plan-quality test),
+    drift_chi2_by_source → (drift_chi2 + ks_stat keep the drift
+    signal; the per-partition grouping stays pytest-covered), and
+    quantile_drift → (quantiles_tdigest keeps the t-digest signal;
+    drift.quantile_drift stays covered by test_cluster_pipeline). The
+    newcomers: table_diff (snapshot reconciliation), quality_model
+    (hashed-feature linear classifier), dedup_incremental
+    (batch-vs-corpus steady-state dedup)."""
     return {
         "validate_violations": q_validate_violations,
         "validate_verdicts": q_validate_verdicts,
         "partition_stats": q_partition_stats,
         "referential_violations": q_referential_violations,
         "referential_salted": q_referential_salted,
-        "histogram_n_chars": q_histogram_n_chars,
+        "dedup_incremental": q_dedup_incremental,
         "drift_chi2": q_drift_chi2,
-        "drift_chi2_by_source": q_drift_chi2_by_source,
+        "table_diff": q_table_diff,
         "ks_stat": q_ks_stat,
         "medea_validate_events": q_medea_validate_events,
         "events_in_windows": q_events_in_windows,
@@ -1102,7 +1196,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_canon": q_dedup_cluster_canon,
         "stats_bounds": q_stats_bounds,
         "quantiles_tdigest": q_quantiles_tdigest,
-        "quantile_drift": q_quantile_drift,
+        "quality_model": q_quality_model,
         "text_repetition": q_text_repetition,
         "mixture_sample": q_mixture_sample,
         "sample_split": q_sample_split,
@@ -1417,9 +1511,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, coalesce(CAST(source AS VARCHAR), 'null') AS observed
             FROM documents WHERE source NOT IN ({_SRC_LIST}) OR source IS NULL
         """,
-        "histogram_n_chars": f"""
-            SELECT {b16} AS bucket, count(*) AS bucket_count
-            FROM documents WHERE n_chars IS NOT NULL GROUP BY 1
+        "dedup_incremental": f"""
+            WITH batch AS (
+              SELECT doc_id + 1000000 AS doc_id, text
+                FROM documents WHERE doc_id % 5 = 0
+              UNION ALL
+              SELECT doc_id + 2000000, text || ' v2'
+                FROM documents WHERE doc_id % 5 = 1
+              UNION ALL
+              SELECT doc_id + 3000000, text || ' v2'
+                FROM documents WHERE doc_id % 5 = 1
+            ),
+            bfp AS (SELECT doc_id, {_FP} AS fingerprint FROM batch),
+            seen AS (SELECT DISTINCT {_FP} AS fingerprint FROM documents),
+            fresh AS (
+              SELECT * FROM bfp b
+              WHERE NOT EXISTS (SELECT 1 FROM seen s
+                                 WHERE s.fingerprint = b.fingerprint)
+            )
+            SELECT min(doc_id) AS doc_id, fingerprint
+            FROM fresh GROUP BY fingerprint
         """,
         "drift_chi2": f"""
             WITH h AS (
@@ -1434,23 +1545,47 @@ def oracle_sql() -> dict[str, str]:
                    ), 4) AS chi2_stat
             FROM h, t WHERE o1 + o2 > 0
         """,
-        "drift_chi2_by_source": f"""
-            WITH h AS (
-              SELECT source, {b16} AS bucket,
-                     sum(CASE WHEN CAST(floor(doc_id / 20.0) AS BIGINT) % 2 = 0
-                         THEN 1 ELSE 0 END) AS o1,
-                     sum(CASE WHEN CAST(floor(doc_id / 20.0) AS BIGINT) % 2 = 1
-                         THEN 1 ELSE 0 END) AS o2
-              FROM documents GROUP BY 1, 2
-            ), t AS (SELECT source, sum(o1) n1, sum(o2) n2 FROM h GROUP BY source)
-            SELECT h.source,
-                   round(sum(
-                     pow(sqrt(CAST(n2 AS DOUBLE)/n1)*o1
-                         - sqrt(CAST(n1 AS DOUBLE)/n2)*o2, 2) / (o1+o2)
-                   ), 4) AS chi2_stat
-            FROM h JOIN t ON h.source = t.source
-            WHERE o1 + o2 > 0 AND n1 > 0 AND n2 > 0
-            GROUP BY h.source
+        "table_diff": """
+            WITH new AS (
+              SELECT o_orderkey, o_custkey,
+                     CASE WHEN o_orderkey % 91 = 0 THEN 'X'
+                          ELSE o_orderstatus END AS o_orderstatus,
+                     o_totalprice, o_orderdate,
+                     CASE WHEN o_orderkey % 89 = 0 THEN 'X-' || o_orderpriority
+                          ELSE o_orderpriority END AS o_orderpriority
+                FROM orders WHERE o_orderkey % 97 <> 0
+              UNION ALL
+              SELECT o_orderkey + 1000000000, o_custkey, o_orderstatus,
+                     o_totalprice, o_orderdate, o_orderpriority
+                FROM orders WHERE o_orderkey % 101 = 0
+            ),
+            j AS (
+              SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+                     o.o_orderkey IS NULL AS is_added,
+                     n.o_orderkey IS NULL AS is_removed,
+                     array_to_string(list_sort(list_filter([
+                       CASE WHEN o.o_custkey IS DISTINCT FROM n.o_custkey
+                            THEN 'o_custkey' END,
+                       CASE WHEN o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+                            THEN 'o_orderstatus' END,
+                       CASE WHEN o.o_totalprice IS DISTINCT FROM n.o_totalprice
+                            THEN 'o_totalprice' END,
+                       CASE WHEN o.o_orderdate IS DISTINCT FROM n.o_orderdate
+                            THEN 'o_orderdate' END,
+                       CASE WHEN o.o_orderpriority IS DISTINCT FROM n.o_orderpriority
+                            THEN 'o_orderpriority' END
+                     ], x -> x IS NOT NULL)), ',') AS diffs
+                FROM orders o FULL OUTER JOIN new n
+                  ON o.o_orderkey = n.o_orderkey
+            )
+            SELECT o_orderkey,
+                   CASE WHEN is_added THEN 'added'
+                        WHEN is_removed THEN 'removed'
+                        ELSE 'changed' END AS change,
+                   CASE WHEN is_added OR is_removed THEN ''
+                        ELSE diffs END AS changed_cols
+            FROM j
+            WHERE is_added OR is_removed OR diffs <> ''
         """,
         "ks_stat": f"""
             WITH h AS (
@@ -1878,18 +2013,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, coalesce(CAST(source AS VARCHAR), 'null') AS observed
             FROM documents WHERE source NOT IN ({_SRC_LIST}) OR source IS NULL
         """,
-        "quantile_drift": """
-            WITH q AS (
-              SELECT quantile_cont(CAST(n_chars AS DOUBLE),
-                                   [0.25, 0.5, 0.75, 0.9]) AS qs
+        "quality_model": f"""
+            WITH t AS (
+              SELECT doc_id,
+                     CASE WHEN length(trim({_NORM})) = 0
+                          THEN CAST([] AS VARCHAR[])
+                          ELSE string_split(trim({_NORM}), ' ') END AS toks
               FROM documents
+            ), feats AS (
+              SELECT doc_id,
+                     list_concat(
+                       toks,
+                       CASE WHEN len(toks) < 2 THEN CAST([] AS VARCHAR[])
+                            ELSE list_transform(range(1, len(toks)),
+                                   i -> toks[i] || ' ' || toks[i+1]) END
+                     ) AS fs
+              FROM t
+            ), scored AS (
+              SELECT doc_id,
+                     CAST(len(fs) AS BIGINT) AS n_features,
+                     CAST(coalesce(list_sum(list_transform(fs,
+                       f -> ('0x' || substr(md5(f), 1, 15))::BIGINT % 1000 - 500
+                     )), 0) AS BIGINT) AS score_milli
+              FROM feats
             )
-            SELECT CAST(ps.p AS DOUBLE) AS p,
-                   CAST(ps.ref AS DOUBLE) AS ref,
-                   TRUE AS rank_ok,
-                   abs(qs[ps.i] - ps.ref) / abs(ps.ref) > 0.25 AS drifted
-            FROM q, (VALUES (1, 0.25, 180.0), (2, 0.5, 300.0),
-                            (3, 0.75, 280.0), (4, 0.9, 700.0)) ps(i, p, ref)
+            SELECT doc_id, n_features, score_milli,
+                   CASE WHEN n_features = 0 THEN 'drop'
+                        WHEN score_milli * 1000 >= 0 THEN 'keep'
+                        ELSE 'drop' END AS quality_label
+            FROM scored
         """,
         "text_repetition": f"""
             WITH t AS (

@@ -282,17 +282,19 @@ def bench_queries(spark) -> dict:
 
     picks = [
         "validate_violations", "validate_verdicts", "partition_stats",
-        "histogram_n_chars", "drift_chi2", "medea_validate_events",
+        "drift_chi2", "medea_validate_events",
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
         "ann_topk", "ann_lsh", "text_quality",
         "lineitem_pricing", "orders_by_segment",
         "stats_bounds", "events_user_skew", "seq_validation",
         # round-3 operators
         "events_asof", "events_sessions_detail", "seq_packing", "mixture_sample",
-        "text_repetition", "quantile_drift", "events_in_windows",
+        "text_repetition", "events_in_windows",
         "kmv_distinct", "events_rollup",
         # round-4 operator
         "text_lm_score",
+        # round-5 operators
+        "table_diff", "quality_model", "dedup_incremental",
     ]
     qs = em.queries()
     out = {}

@@ -382,6 +382,39 @@ def simhash_near_duplicates(
     )
 
 
+# -- incremental (batch-vs-corpus) dedup ---------------------------------------------
+
+
+def incremental_dedup(
+    batch_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Survivors of a NEW ingest batch against an EXISTING corpus — the
+    steady-state form of exact dedup once a lake is live: each crawl
+    drops (a) anything whose normalized text already exists in the
+    corpus, then (b) within-batch copies (min-id keep, same policy as
+    dedup_exact). Returns (id_col, fingerprint) of surviving batch rows.
+
+    Scale shape: both sides reduce to 16-byte fingerprints before any
+    shuffle; the corpus side is pre-distinct'd (partial agg map-side) so
+    the LEFT ANTI join moves one row per distinct corpus text, not per
+    corpus row. AQE broadcasts the batch side when the batch is small;
+    a 100 TB corpus vs daily-crawl batch runs as one sort-merge anti
+    join on the digest — no text bytes cross the wire."""
+    bfp = batch_df.select(
+        F.col(id_col), fingerprint(F.col(text_col)).alias("fingerprint")
+    )
+    seen = corpus_df.select(
+        fingerprint(F.col(text_col)).alias("fingerprint")
+    ).distinct()
+    fresh = bfp.join(seen, "fingerprint", "left_anti")
+    return fresh.groupBy("fingerprint").agg(
+        F.min(id_col).alias(id_col)
+    ).select(id_col, "fingerprint")
+
+
 # -- benchmark contamination ---------------------------------------------------------
 
 

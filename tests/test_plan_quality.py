@@ -392,3 +392,45 @@ def test_lmscore_join_input_is_preaggregated(spark):
     assert re.search(r"sum\(\(cast\(_k#\d+L as double\) \* LOG2", plan), plan
     # freq side broadcasts (counts move, not text)
     assert "BroadcastHashJoin" in plan, plan
+
+
+def test_quality_model_is_map_only(spark):
+    """Round-5 hashed-feature classifier: tokenize→hash→weigh→sum must
+    all live in ONE codegen'd projection over the scan — any Exchange
+    or join here would be a 100 TB regression."""
+    spark.catalog.clearCache()
+    plan = plan_of(em.q_quality_model(spark, SF))
+    assert "Exchange" not in plan, plan
+    assert "Join" not in plan, plan
+    # (higher-order-function lambdas are CodegenFallback in Spark, so
+    # the Project sits outside a WholeStageCodegen span — the gates
+    # that matter are: no shuffle, no join, 2-column pruned scan)
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
+
+
+def test_table_diff_is_single_outer_join(spark):
+    """Snapshot diff: one full-outer equi-join on the key, never a
+    nested-loop/cartesian plan; the changed-cols CASE chain stays in
+    the projection."""
+    spark.catalog.clearCache()
+    plan = plan_of(em.q_table_diff(spark, SF))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "FullOuter" in plan, plan
+
+
+def test_dedup_incremental_is_anti_join_on_digests(spark):
+    """Batch-vs-corpus dedup: the corpus side reduces to DISTINCT
+    16-byte fingerprints (partial agg) before a LEFT ANTI join — no
+    text bytes move through the shuffle."""
+    import re
+
+    spark.catalog.clearCache()
+    plan = plan_of(em.q_dedup_incremental(spark, SF))
+    assert "LeftAnti" in plan, plan
+    # corpus side pre-aggregated to distinct fingerprints
+    assert re.search(r"HashAggregate\(keys=\[fingerprint#\d+\]", plan), plan
+    # only digests cross the anti-join shuffle: no text column survives
+    # past the fingerprint projections into an exchange
+    for seg in plan.split("Exchange hashpartitioning(")[1:]:
+        assert not seg[: seg.index(")")].startswith("text#"), plan
