@@ -48,10 +48,21 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 T0 = time.time()  # process start, for the adaptive-loop wall budget
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-# driver heap must be fixed BEFORE the first JVM launch in this process;
-# 8g (the library default) GC-throttles 32 concurrent tasks on the 6M-row
-# input and poisons the 8->32 scaling pair. The box has 128 GiB.
-os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+# driver heap must be fixed BEFORE the first JVM launch in this process.
+# ROUND-5 REVERSAL of the round-2 "48g" rule: on the current sandbox
+# kernel a LARGE heap is itself pathological — the same warm 1.5M-row
+# local[32] validate measured 6.6s at 8g, 10.5-77s at 16g, 27-203s at
+# 48g (interleaved A/B, fresh process each), with executor threads in
+# kernel-dominated time (page zeroing from G1 commit/uncommit churn;
+# -Xms pinning and +AlwaysPreTouch do NOT rescue it). The round-2
+# observation that 8g GC-throttled local[32] predates the
+# columnarReaderBatchSize=1024 fix (session.py): the 4096-row nested
+# reader batches allocated quadratically, and THAT storm needed 48g.
+# With b1024 the allocation rate is ~16x lower and small heaps win.
+# At the 24M headline input the sweet spot re-measured as 12g/128m-64m
+# (warm min-of-2, fresh process each): 8g/32m 53s, 8g/128m 38s,
+# 12g/128m 30.1-30.5s, 12g/64m 33s, 16g/128m 37s, 48g: 100s+.
+os.environ.setdefault("SPARK_GRAFT_DRIVER_MEM", "12g")
 SEQ_ROWS = int(os.environ.get("MEDEA_BENCH_SEQ_ROWS", "1500000"))
 # pair B input: 16x pair A (24M rows, ~24 GB parquet). At 6M the
 # 32-core job is ~5-6s — short enough that fixed overhead, JIT ramp,
@@ -82,7 +93,9 @@ def _session(cores: int):
         app_name=f"medea-bench-{cores}",
         master=f"local[{cores}]",
         shuffle_partitions=max(8, cores),
-        extra_conf={"spark.sql.files.maxPartitionBytes": "32m"},
+        # 64m splits: parallelism headroom on the small inputs while
+        # staying within ~10% of the 24M optimum (see heap note above)
+        extra_conf={"spark.sql.files.maxPartitionBytes": "64m"},
     )
 
 
@@ -96,7 +109,8 @@ def _cluster_session(n_exec: int, cores_per_exec: int = 4,
     NOTE the master-string memory is the WORKER's allocatable amount,
     not the executor heap — without an explicit spark.executor.memory
     the executors launch with the 1g default and OOM on the 24M-row
-    scan (same ~1.5g/core budget as the local[32]/48g runs)."""
+    scan (~1.5g/core; small heaps are also the FAST configuration on
+    this kernel — see the round-5 driver-heap note at the top)."""
     from medea_ps_spark.session import get_spark
 
     return get_spark(
@@ -104,7 +118,7 @@ def _cluster_session(n_exec: int, cores_per_exec: int = 4,
         master=f"local-cluster[{n_exec},{cores_per_exec},{mem_mb}]",
         shuffle_partitions=max(8, n_exec * cores_per_exec),
         extra_conf={
-            "spark.sql.files.maxPartitionBytes": "32m",
+            "spark.sql.files.maxPartitionBytes": "64m",
             "spark.executor.memory": f"{mem_mb - 512}m",
         },
     )
@@ -423,7 +437,7 @@ def _run_queries_subprocess() -> dict:
     import subprocess
 
     env = dict(os.environ)
-    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "48g")
+    env.setdefault("SPARK_GRAFT_DRIVER_MEM", "12g")
     proc = subprocess.run(
         [sys.executable, os.path.abspath(__file__), "--queries-only"],
         capture_output=True, text=True, env=env, timeout=3600,

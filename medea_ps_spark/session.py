@@ -31,6 +31,17 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Long repeated columns (the north-star tokens:array<int> table,
+        # ~500-2000 elements/row) hit a capacity-reserve churn in the
+        # nested-column vectorized parquet reader at the 4096-row default
+        # batch: jstack shows executor threads pinned in
+        # WritableColumnVector.reserve/OnHeapColumnVector.reserveInternal
+        # inside VectorizedRleValuesReader.readIntegersRepeated, and a
+        # 767M-token scan measured 244s at batch 4096 vs 3.5s at 1024
+        # (local[8], same files; flat scans are unaffected: 0.42s vs
+        # 0.42s on lineitem). 1024 rows x ~2k elements still yields
+        # ~2M-value child batches - plenty for whole-stage codegen.
+        .config("spark.sql.parquet.columnarReaderBatchSize", "1024")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
