@@ -9,7 +9,9 @@ ZIP="/tmp/medea_ps_spark.zip"
 ( cd "$REPO" && rm -f "$ZIP" && zip -qr "$ZIP" medea_ps_spark -x '*__pycache__*' )
 exec spark-submit \
   --master "${SPARK_MASTER:-local[${SPARK_GRAFT_CPUS:-32}]}" \
+  --driver-memory "${SPARK_GRAFT_DRIVER_MEM:-12g}" \
   --conf spark.sql.adaptive.enabled=true \
+  --conf spark.sql.parquet.columnarReaderBatchSize=1024 \
   --conf spark.sql.shuffle.partitions="${SPARK_GRAFT_SHUFFLE_PARTITIONS:-32}" \
   --py-files "$ZIP" \
   "$REPO/medea_ps_spark/jobs/validate_job.py" \
