@@ -100,7 +100,7 @@ def _session(cores: int):
 
 
 def _cluster_session(n_exec: int, cores_per_exec: int = 4,
-                     mem_mb: int = 6144):
+                     mem_mb: int = 3072):
     """local-cluster[N,c,mem]: N SEPARATE executor JVMs (own heap, own
     GC, own shuffle/memory pools) — the in-sandbox stand-in for the
     north rule's N-vs-4N-executor cluster. Unlike local[N], nothing
@@ -109,8 +109,12 @@ def _cluster_session(n_exec: int, cores_per_exec: int = 4,
     NOTE the master-string memory is the WORKER's allocatable amount,
     not the executor heap — without an explicit spark.executor.memory
     the executors launch with the 1g default and OOM on the 24M-row
-    scan (~1.5g/core; small heaps are also the FAST configuration on
-    this kernel — see the round-5 driver-heap note at the top)."""
+    scan. Round-5 re-tuning: the large-heap kernel pathology (see the
+    driver-heap note at the top) applies to EXECUTOR JVMs too — the
+    8-exec 6M validate measured 37.8s at 5632M executors vs 20.5-20.7s
+    at 1536-2560M; 24M passes clean at these sizes (41.5s/8-exec,
+    111.3s/2-exec). Default 3072 ⇒ 2560m executor heap: margin above
+    the 1g-OOM floor, well below the ~5g pathology onset."""
     from medea_ps_spark.session import get_spark
 
     return get_spark(
