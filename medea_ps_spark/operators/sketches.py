@@ -270,3 +270,159 @@ def kmv_distinct_estimate(
         .otherwise(F.round((F.col("k") - 1) / frac, 4))
     )
     return kth.select("k", "kth_hex", est.alias("est_distinct"))
+
+
+# ---------------------------------------------------------------------------
+# Count-Min sketch (Cormode & Muthukrishnan '05) — frequency estimation
+# over key spaces too large to groupBy (open-vocabulary n-grams, URLs)
+# ---------------------------------------------------------------------------
+
+# 15 hex chars = 60 uniform bits; parses losslessly into a signed BIGINT
+# in both Spark (conv(hex,16,10)) and DuckDB (('0x'||hex)::BIGINT), so
+# the whole counter table is bit-identical across engines (the same
+# md5-lane trick as kmv_minima / dedup LSH / qualitymodel weights).
+_CMS_HEX = 15
+
+
+def _cms_cell(value, depth_row: int, width: int, salt: str):
+    """Deterministic cell index in [0, width) for one hash row."""
+    lane = F.conv(
+        F.substring(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit(salt), F.lit(depth_row), value.cast("string")
+                )
+            ),
+            1,
+            _CMS_HEX,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (lane % F.lit(width)).cast("int")
+
+
+def count_min_sketch(
+    df: DataFrame,
+    column: str,
+    depth: int = 4,
+    width: int = 2048,
+    salt: str = "cms",
+    explode_arrays: bool = False,
+) -> DataFrame:
+    """Build a Count-Min sketch as a (depth_row, cell, c) counter table.
+
+    Scale design: the per-item work (md5 × depth) is pure column
+    expressions inside whole-stage codegen; the explode of ``depth``
+    (row, cell) structs pipelines straight into the partial hash-agg, so
+    each task emits at most depth × width counter rows regardless of
+    input size — the shuffle is bounded by the SKETCH size, not the
+    data (same property as histogram/token_histogram above). At 10^12
+    tokens with depth=4, width=2^16 that is ≤ 256K rows per task.
+
+    ``explode_arrays=True`` sketches the elements of an array column
+    (e.g. ``tokens``) instead of the column value itself. NULL values
+    (and NULL elements) are excluded, mirroring count() semantics.
+
+    The sketch MERGES by unioning counter tables and re-summing
+    (``cms_merge``) — counts are exact sums, so merge is lossless, the
+    treeAggregate/union-across-days pattern.
+    """
+    base = F.explode(F.col(column)) if explode_arrays else F.col(column)
+    vals = df.select(base.alias("v")).where(F.col("v").isNotNull())
+    rc = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("depth_row"),
+                    _cms_cell(F.col("v"), r, width, salt).alias("cell"),
+                )
+                for r in range(depth)
+            ]
+        )
+    ).alias("rc")
+    return (
+        vals.select(rc)
+        .select("rc.depth_row", "rc.cell")
+        .groupBy("depth_row", "cell")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge counter tables built with identical (depth, width, salt):
+    union + re-sum. Exact (counts are sums), associative, commutative."""
+    it = iter(sketches)
+    u = next(it)
+    for s in it:
+        u = u.unionByName(s)
+    return u.groupBy("depth_row", "cell").agg(F.sum("c").alias("c"))
+
+
+def cms_estimate(
+    sketch: DataFrame,
+    items: DataFrame,
+    item_col: str,
+    depth: int = 4,
+    width: int = 2048,
+    salt: str = "cms",
+) -> DataFrame:
+    """Point-query the sketch for each distinct value of ``items``:
+    est = min over depth rows of the value's counter (the classic CMS
+    estimator — always ≥ the true count, ≤ true + εN w.h.p. where
+    ε = e/width).
+
+    The sketch side is ≤ depth × width rows by construction, so the
+    probe join is an explicit broadcast — the (possibly huge) item side
+    never shuffles. Cells the sketch never touched are count 0.
+    Returns (item, est) with est as BIGINT.
+    """
+    probes = items.select(F.col(item_col).alias("item")).where(
+        F.col("item").isNotNull()
+    ).distinct()
+    rc = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(r).alias("depth_row"),
+                    _cms_cell(F.col("item"), r, width, salt).alias("cell"),
+                )
+                for r in range(depth)
+            ]
+        )
+    ).alias("rc")
+    exploded = probes.select("item", rc).select(
+        "item", "rc.depth_row", "rc.cell"
+    )
+    joined = exploded.join(
+        F.broadcast(sketch), ["depth_row", "cell"], "left"
+    )
+    return joined.groupBy("item").agg(
+        F.min(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("est")
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    column: str,
+    k: int = 20,
+    depth: int = 4,
+    width: int = 2048,
+    salt: str = "cms",
+    explode_arrays: bool = False,
+    candidates: Optional[DataFrame] = None,
+) -> DataFrame:
+    """Top-k values by CMS estimate. CMS answers point queries, not
+    enumeration, so heavy hitters need a CANDIDATE set; by default the
+    distinct values themselves are probed (cheap at test scale and
+    exact-recall), while at open-vocabulary scale the caller passes a
+    bounded ``candidates`` frame (e.g. distinct values of a
+    deterministic hash-sample — a heavy hitter at rate p appears in a
+    sample w.h.p., the standard two-pass batch recipe). Ordered by
+    (est DESC, item) so the output is total-ordered and reproducible."""
+    sk = count_min_sketch(df, column, depth, width, salt, explode_arrays)
+    if candidates is None:
+        base = F.explode(F.col(column)) if explode_arrays else F.col(column)
+        candidates = df.select(base.alias("item"))
+    est = cms_estimate(sk, candidates, "item", depth, width, salt)
+    return est.orderBy(F.desc("est"), F.asc("item")).limit(k)

@@ -434,3 +434,22 @@ def test_dedup_incremental_is_anti_join_on_digests(spark):
     # past the fingerprint projections into an exchange
     for seg in plan.split("Exchange hashpartitioning(")[1:]:
         assert not seg[: seg.index(")")].startswith("text#"), plan
+
+
+def test_cms_build_is_bounded_partial_agg_and_probe_is_broadcast(spark):
+    """Count-Min build: explode pipelines into a partial hash-agg, so
+    the one shuffle carries ≤ depth×width counter rows per task, never
+    the token stream. Probe: the sketch side broadcasts — the item side
+    must not shuffle for the join."""
+    from medea_ps_spark.operators import sketches as SK
+
+    df = spark.read.parquet(f"{SF}/documents.parquet").select("lang")
+    sk = SK.count_min_sketch(df, "lang", depth=4, width=256)
+    plan = plan_of(sk)
+    assert plan.count("HashAggregate") >= 2, plan  # partial + final
+    assert plan.count("Exchange") == 1, plan
+
+    est = SK.cms_estimate(sk, df, "lang", depth=4, width=256)
+    eplan = plan_of(est)
+    assert "BroadcastHashJoin" in eplan or "BroadcastExchange" in eplan, eplan
+    assert "SortMergeJoin" not in eplan, eplan

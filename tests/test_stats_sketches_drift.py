@@ -197,3 +197,116 @@ def test_salted_anti_join_matches_plain(spark, seq_df):
     got = {r["doc_id"] for r in salted.select("doc_id").collect()}
     want = {r["doc_id"] for r in plain.select("doc_id").collect()}
     assert got == want
+
+
+# -- Count-Min sketch ---------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def zipf_words(spark):
+    """~6K word occurrences over ~330 distinct words, Zipf-ish: word_i
+    appears ceil(600/i) times. Deterministic."""
+    rows = []
+    for i in range(1, 331):
+        rows.extend([(f"w{i:03d}",)] * (600 // i + 1))
+    return spark.createDataFrame(rows, "word string")
+
+
+def _true_counts(df):
+    return {
+        r["word"]: r["n"]
+        for r in df.groupBy("word").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+
+
+def test_cms_never_underestimates_and_error_bounded(spark, zipf_words):
+    depth, width = 4, 1024
+    sk = SK.count_min_sketch(zipf_words, "word", depth, width)
+    est = {
+        r["item"]: r["est"]
+        for r in SK.cms_estimate(sk, zipf_words, "word", depth, width).collect()
+    }
+    true = _true_counts(zipf_words)
+    n_total = sum(true.values())
+    assert set(est) == set(true)
+    overs = []
+    for w, t in true.items():
+        assert est[w] >= t, f"CMS underestimated {w}: {est[w]} < {t}"
+        overs.append(est[w] - t)
+    # ε = e/width bound: P(over > εN) ≤ e^-depth per item; with 330
+    # items and depth 4 none should exceed it (generous ×1 bound).
+    eps_n = math.e / width * n_total
+    assert max(overs) <= eps_n, (max(overs), eps_n)
+
+
+def test_cms_merge_equals_whole(spark, zipf_words):
+    depth, width = 4, 512
+    # exact split: hash parity (every occurrence of a word goes one side)
+    a = zipf_words.where(F.crc32(F.col("word")) % 2 == 0)
+    b = zipf_words.where(F.crc32(F.col("word")) % 2 == 1)
+    merged = SK.cms_merge(
+        SK.count_min_sketch(a, "word", depth, width),
+        SK.count_min_sketch(b, "word", depth, width),
+    )
+    whole = SK.count_min_sketch(zipf_words, "word", depth, width)
+    m = {(r["depth_row"], r["cell"]): r["c"] for r in merged.collect()}
+    w = {(r["depth_row"], r["cell"]): r["c"] for r in whole.collect()}
+    assert m == w
+
+
+def test_cms_counter_table_bit_identical_in_duckdb(spark, zipf_words):
+    """The md5-lane cells make the sketch engine-portable: DuckDB
+    rebuilds the identical counter table from the same rows."""
+    duckdb = pytest.importorskip("duckdb")
+    depth, width, salt = 3, 256, "cms"
+    got = sorted(
+        (r["depth_row"], r["cell"], r["c"])
+        for r in SK.count_min_sketch(
+            zipf_words, "word", depth, width, salt
+        ).collect()
+    )
+    pdf = zipf_words.toPandas()
+    con = duckdb.connect()
+    con.register("words", pdf)
+    want = sorted(
+        tuple(t)
+        for t in con.execute(
+            f"""
+            WITH cells AS (
+              SELECT r AS depth_row,
+                     CAST(('0x' || substr(
+                        md5('{salt}' || ':' || r || ':' || word), 1, 15
+                     ))::BIGINT % {width} AS INT) AS cell
+              FROM words, range(0, {depth}) t(r)
+            )
+            SELECT depth_row, cell, count(*) AS c
+            FROM cells GROUP BY 1, 2
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_cms_heavy_hitters_finds_true_top(spark, zipf_words):
+    top = SK.cms_heavy_hitters(zipf_words, "word", k=10, depth=4, width=2048)
+    got = [r["item"] for r in top.collect()]
+    true = _true_counts(zipf_words)
+    true_top10 = [
+        w for w, _ in sorted(true.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    ]
+    assert got == true_top10
+
+
+def test_cms_token_array_mode(spark):
+    df = spark.createDataFrame(
+        [(1, [5, 5, 7]), (2, [7, None, 9]), (3, None)],
+        "id int, tokens array<int>",
+    )
+    sk = SK.count_min_sketch(df, "tokens", 2, 64, explode_arrays=True)
+    items = spark.createDataFrame([(5,), (7,), (9,), (11,)], "item int")
+    est = {
+        r["item"]: r["est"]
+        for r in SK.cms_estimate(sk, items, "item", 2, 64).collect()
+    }
+    assert est[5] >= 2 and est[7] >= 2 and est[9] >= 1
+    assert est[11] >= 0  # absent item still gets a (possibly 0) estimate
