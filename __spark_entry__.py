@@ -301,8 +301,14 @@ def q_dedup_incremental(spark, sf_dir):
     of corpus docs under new ids + genuinely new ' v2' docs, the latter
     planted twice for within-batch dups) anti-joined against the corpus
     fingerprint set — survivors are exactly the fresh texts, one per
-    fingerprint (min-id keep). Exercises dedup.incremental_dedup."""
-    from medea_ps_spark.operators.dedup import incremental_dedup
+    fingerprint (min-id keep). EXECUTES bloom.incremental_dedup_bloom
+    — the Bloom-prefiltered plan (broadcast word-array probe, broadcast
+    confirmation joins, no corpus shuffle), bit-identical to
+    dedup.incremental_dedup because Bloom has no false negatives
+    (equality proven in tests/test_bloom.py); the oracle SQL is the
+    plain anti-join semantics, so this row driver-verifies the bloom
+    path the way referential_salted covers the salted referential."""
+    from medea_ps_spark.operators.bloom import incremental_dedup_bloom
 
     df = _docs(spark, sf_dir)
     recrawl = df.where(F.col("doc_id") % 5 == 0).withColumn(
@@ -319,7 +325,7 @@ def q_dedup_incremental(spark, sf_dir):
         .withColumn("text", F.concat(F.col("text"), F.lit(" v2")))
     )
     batch = recrawl.unionByName(fresh_a).unionByName(fresh_b)
-    return incremental_dedup(batch, df, "text", "doc_id")
+    return incremental_dedup_bloom(batch, df, "text", "doc_id", num_bits=1 << 22)
 
 
 def q_dedup_ngram_jaccard(spark, sf_dir):
