@@ -25,7 +25,13 @@ versus the sort-merge anti join of the plain operator.
 
 Hashing is the house md5-lane trick (kmv/LSH/qualitymodel/CMS): 15 hex
 chars parse losslessly into a signed BIGINT in both Spark and DuckDB,
-so the word table is engine-portable and test-provable.
+so the word table is engine-portable and test-provable. The k probe
+positions come from ONE md5 via Kirsch-Mitzenmacher double hashing
+(pos_i = (h1 + i·h2) mod m over two 60-bit lanes of the same digest;
+Kirsch & Mitzenmacher, ESA'06 — asymptotically the same FP rate as k
+independent hashes): one digest per row on build AND probe instead of
+k, which keeps the filter's per-row cost at the same one-md5 price the
+plain fingerprint anti-join already pays.
 """
 
 from __future__ import annotations
@@ -43,17 +49,19 @@ from ..functions.text import fingerprint
 _HEX_LANE = 15  # 60 uniform bits, lossless signed BIGINT in Spark + DuckDB
 
 
-def _bit_position(value: Column, i: int, num_bits: int, salt: str) -> Column:
-    lane = F.conv(
-        F.substring(
-            F.md5(F.concat_ws(":", F.lit(salt), F.lit(i), value.cast("string"))),
-            1,
-            _HEX_LANE,
-        ),
-        16,
-        10,
-    ).cast("long")
-    return lane % F.lit(num_bits)
+def _lane(digest: Column, start: int) -> Column:
+    return F.conv(F.substring(digest, start, _HEX_LANE), 16, 10).cast("long")
+
+
+def _positions(value: Column, num_hashes: int, num_bits: int, salt: str) -> list:
+    """Kirsch-Mitzenmacher: k positions from ONE digest — h1 and h2 are
+    disjoint 60-bit lanes of md5(salt:value); pos_i = (h1 + i·h2) mod m.
+    Both lanes are reduced mod m first so h1 + (k-1)·h2 stays far below
+    signed-64 overflow for any m ≤ 2^30 and any practical k."""
+    digest = F.md5(F.concat_ws(":", F.lit(salt), value.cast("string")))
+    h1 = _lane(digest, 1) % F.lit(num_bits)
+    h2 = _lane(digest, 17) % F.lit(num_bits)
+    return [(h1 + F.lit(i) * h2) % F.lit(num_bits) for i in range(num_hashes)]
 
 
 def bloom_build(
@@ -74,12 +82,7 @@ def bloom_build(
     Word tables MERGE by union + re-``bit_or`` (``bloom_merge``) — the
     union-across-days pattern for a growing corpus."""
     pos = F.explode(
-        F.array(
-            *[
-                _bit_position(F.col(column), i, num_bits, salt)
-                for i in range(num_hashes)
-            ]
-        )
+        F.array(*_positions(F.col(column), num_hashes, num_bits, salt))
     ).alias("pos")
     return (
         df.where(F.col(column).isNotNull())
@@ -143,9 +146,7 @@ def bloom_might_contain(
         hit = (words[mat >> 6] & (np.int64(1) << (mat & 63))) != 0
         return pd.Series(hit.all(axis=1))
 
-    positions = F.array(
-        *[_bit_position(F.col(column), i, num_bits, salt) for i in range(num_hashes)]
-    )
+    positions = F.array(*_positions(F.col(column), num_hashes, num_bits, salt))
     probed = F.when(F.col(column).isNull(), F.lit(None).cast("boolean")).otherwise(
         _probe(positions)
     )

@@ -75,10 +75,15 @@ def test_bloom_word_table_bit_identical_in_duckdb(spark):
         tuple(t)
         for t in con.execute(
             f"""
-            WITH pos AS (
-              SELECT ('0x' || substr(md5('{salt}' || ':' || i || ':' || w),
-                      1, 15))::BIGINT % {num_bits} AS p
-              FROM vals, range(0, {k}) t(i)
+            WITH lanes AS (
+              SELECT ('0x' || substr(md5('{salt}' || ':' || w), 1, 15))::BIGINT
+                       % {num_bits} AS h1,
+                     ('0x' || substr(md5('{salt}' || ':' || w), 17, 15))::BIGINT
+                       % {num_bits} AS h2
+              FROM vals
+            ), pos AS (
+              SELECT (h1 + i * h2) % {num_bits} AS p
+              FROM lanes, range(0, {k}) t(i)
             )
             SELECT CAST(p // 64 AS INT) AS word_idx,
                    bit_or(CASE WHEN p % 64 = 63 THEN -9223372036854775808
