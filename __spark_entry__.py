@@ -913,6 +913,36 @@ def q_sample_split(spark, sf_dir):
     )
 
 
+def q_fd_check(spark, sf_dir):
+    """Functional-dependency constraint (shard → label) over customer
+    with planted mislabels (c_custkey % 911 == 0 rows get label 'XX'):
+    the violating groups are exactly the shards containing a planted
+    row, and EVERY member row of those shards is emitted. EXECUTES
+    plans.constraints.FunctionalDependency via validator.fd_violations
+    (one determinant-key hash agg with a null-safe distinct dependent
+    count, violating groups joined back null-safely)."""
+    from medea_ps_spark.operators import validator as VV
+    from medea_ps_spark.plans.constraints import FunctionalDependency
+
+    df = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .select(
+            F.col("c_custkey").cast("long").alias("id"),
+            (F.col("c_custkey") % 300).cast("long").alias("shard"),
+        )
+        .withColumn(
+            "label",
+            F.when(F.col("id") % 911 == 0, F.lit("XX")).otherwise(
+                F.substring(F.md5(F.col("shard").cast("string")), 1, 4)
+            ),
+        )
+    )
+    c = FunctionalDependency(
+        "shard_label_fd", determinants=("shard",), dependent="label"
+    )
+    return VV.fd_violations(df, c, id_column="id")
+
+
 def q_seq_packing(spark, sf_dir):
     """Concat-then-chunk sequence packing over the committed fixture:
     md5-ordered shard-local running sums cut the token stream into
@@ -1157,7 +1187,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     drift.quantile_drift stays covered by test_cluster_pipeline). The
     newcomers: table_diff (snapshot reconciliation), quality_model
     (hashed-feature linear classifier), dedup_incremental
-    (batch-vs-corpus steady-state dedup)."""
+    (batch-vs-corpus steady-state dedup).
+
+    Round-5 session 3 folded sample_split → mixture_sample (the split
+    is the complementary threshold range of the SAME md5 coordinate
+    mixture_sample verifies; disjoint/exhaustive/stability stay in
+    test_sampling_packing.py) to make room for fd_check — the new
+    FunctionalDependency table-level constraint under the oracle."""
     return {
         "validate_violations": q_validate_violations,
         "validate_verdicts": q_validate_verdicts,
@@ -1205,7 +1241,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quality_model": q_quality_model,
         "text_repetition": q_text_repetition,
         "mixture_sample": q_mixture_sample,
-        "sample_split": q_sample_split,
+        "fd_check": q_fd_check,
         "seq_packing": q_seq_packing,
         "events_asof": q_events_asof,
         "events_sessions_detail": q_events_sessions_detail,
@@ -2081,14 +2117,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE {_mixture_pred_sql()}
             GROUP BY source
         """,
-        "sample_split": f"""
-            SELECT CASE WHEN {_sample_hex(_SPLIT_SEED)}
-                             < '{{split_thresh}}'
-                        THEN 'holdout' ELSE 'train' END AS split,
-                   count(*) AS n_rows,
-                   CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
-            FROM documents GROUP BY 1
-        """.format(split_thresh=rate_threshold(_SPLIT_FRAC)),
+        "fd_check": """
+            WITH f AS (
+              SELECT CAST(c_custkey AS BIGINT) AS id,
+                     CAST(c_custkey % 300 AS BIGINT) AS shard,
+                     CASE WHEN c_custkey % 911 = 0 THEN 'XX'
+                          ELSE substr(md5(CAST(CAST(c_custkey % 300 AS BIGINT)
+                                               AS VARCHAR)), 1, 4)
+                     END AS label
+              FROM customer
+            ), g AS (
+              SELECT shard,
+                     COUNT(DISTINCT label)
+                       + MAX(CASE WHEN label IS NULL THEN 1 ELSE 0 END) AS n_dep
+              FROM f GROUP BY shard
+            )
+            SELECT f.id,
+                   'shard_label_fd' AS constraint_id,
+                   CAST(f.shard AS VARCHAR) || ' -> ' || COALESCE(f.label, 'null')
+                     || ' (distinct=' || CAST(g.n_dep AS VARCHAR) || ')' AS observed
+            FROM f JOIN g USING (shard)
+            WHERE g.n_dep > 1
+        """,
         "events_in_windows": """
             WITH w(window_id, start_us, end_us) AS (VALUES {windows}),
             e AS (

@@ -91,7 +91,7 @@ def run_checkpointed_validation(
     partitions that already completed in row mode stay skipped in
     either mode ("rows" is a superset of "metrics")."""
     from ..plans.compiler import fingerprint_set
-    from ..plans.constraints import ReferentialIn, Unique
+    from ..plans.constraints import FunctionalDependency, ReferentialIn, Unique
 
     fp = fingerprint_set(registry, root)
     ck = CheckpointedRun(
@@ -109,6 +109,8 @@ def run_checkpointed_validation(
                     n_table += V.unique_violation_count(pdf, c)
                 elif isinstance(c, ReferentialIn):
                     n_table += V.referential_violation_count(pdf, c)
+                elif isinstance(c, FunctionalDependency):
+                    n_table += V.fd_violation_count(pdf, c)
         else:
             viol = V.all_violations(pdf, compiled, id_column=id_column)
             viol.write.mode("overwrite").parquet(

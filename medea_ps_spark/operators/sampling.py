@@ -22,7 +22,7 @@ a single codegen'd projection — no shuffle, no UDF, no RNG state.
 
 from __future__ import annotations
 
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional, Sequence, Tuple
 
 from pyspark.sql import Column, DataFrame, functions as F
 
@@ -93,3 +93,42 @@ def train_holdout_split(
     and repartitioning."""
     pred = keep_predicate(F.col(key_col), holdout_frac, seed)
     return df.where(~pred), df.where(pred)
+
+
+def stratified_exact_sample(
+    df: DataFrame,
+    n_per_stratum: int,
+    strata_cols: Sequence[str] = ("source",),
+    key_col: str = "doc_id",
+    seed: int = 42,
+    rank_col: Optional[str] = None,
+) -> DataFrame:
+    """EXACTLY min(n, |stratum|) rows per stratum — rate-based sampling
+    can't hit a quota (a 0.1% stratum under-fills, a 40% one over-
+    fills), but eval sets, per-domain audits, and balanced fine-tuning
+    mixes need exact per-domain counts.
+
+    Selection order is the same pure (key, seed) md5 coordinate as
+    `sample_deterministic` (tie-broken by the key itself → total
+    order), so the chosen set is layout-independent, rerun-stable, and
+    NESTED: the n=1000 sample of a stratum is a strict subset of its
+    n=2000 sample at the same seed — scaling ladders for free. The
+    ranked window rides `topk_per_group` (two-phase: per-input-
+    partition then over k·n_partitions survivors), so a 10^11-row web
+    stratum never funnels through one task the way a naive
+    `row_number() OVER (PARTITION BY source)` would.
+
+    Fixed-width lowercase md5-hex order == numeric order in both Spark
+    and DuckDB, so the operator is SQL-oracle-able verbatim."""
+    from .topk import topk_per_group
+
+    if n_per_stratum <= 0:
+        raise ValueError(f"n_per_stratum must be positive, got {n_per_stratum}")
+    out = topk_per_group(
+        df,
+        list(strata_cols),
+        [hash_bucket(F.col(key_col), seed), F.col(key_col)],
+        n_per_stratum,
+        rank_col=rank_col or "_strat_rank",
+    )
+    return out if rank_col else out.drop("_strat_rank")

@@ -18,7 +18,7 @@ from typing import List, Optional
 from pyspark.sql import DataFrame, functions as F
 
 from ..plans.compiler import CompiledSet
-from ..plans.constraints import ReferentialIn, Unique
+from ..plans.constraints import FunctionalDependency, ReferentialIn, Unique
 
 VIOLATIONS_COL = "violations"
 PASSED_COL = "passed"
@@ -137,6 +137,75 @@ def referential_violations(
     )
 
 
+def _fd_group_distinct(df: DataFrame, c: FunctionalDependency) -> DataFrame:
+    """Per-determinant-group (size, null-safe distinct dependent count):
+    distinct non-null dependents + 1 if the group has any NULL — NULL is
+    a value under FD semantics, matching groupBy's null grouping. One
+    partial+final hash aggregate on the determinant key."""
+    dep = F.col(c.dependent)
+    return (
+        df.groupBy(*c.determinants)
+        .agg(
+            F.count(F.lit(1)).alias("_n"),
+            (
+                F.countDistinct(dep)
+                + F.max(dep.isNull().cast("int"))
+            ).alias("_n_dep"),
+        )
+    )
+
+
+def fd_violations(
+    df: DataFrame, c: FunctionalDependency, id_column: str = "doc_id"
+) -> DataFrame:
+    """Every row of every determinant group holding >1 distinct
+    dependent value (NULL counted, null-safely). Same scale shape as
+    :func:`unique_violations` — one hash agg of the determinant keys,
+    then the (usually tiny, worst-case unbounded) bad-group set joins
+    back under AQE's runtime strategy choice; the join is null-safe so
+    NULL determinant values are grouped exactly as the aggregate
+    grouped them."""
+    from .joinutil import null_safe_join
+
+    bad = (
+        _fd_group_distinct(df, c)
+        .where(F.col("_n_dep") > 1)
+        .select(*c.determinants, "_n_dep")
+    )
+    tagged = null_safe_join(df, bad, list(c.determinants))
+    return tagged.select(
+        F.col(id_column),
+        F.lit(c.name).alias("constraint_id"),
+        F.concat(
+            F.concat_ws(
+                ",",
+                *[
+                    F.coalesce(F.col(d).cast("string"), F.lit("null"))
+                    for d in c.determinants
+                ],
+            ),
+            F.lit(" -> "),
+            F.coalesce(F.col(c.dependent).cast("string"), F.lit("null")),
+            F.lit(" (distinct="),
+            F.col("_n_dep").cast("string"),
+            F.lit(")"),
+        ).alias("observed"),
+    )
+
+
+def fd_violation_count(df: DataFrame, c: FunctionalDependency) -> int:
+    """COUNT of :func:`fd_violations` rows without the join-back — sum
+    of group sizes over violating groups, one aggregate pass (the
+    metrics-only fast path, same trick as unique_violation_count)."""
+    row = (
+        _fd_group_distinct(df, c)
+        .where(F.col("_n_dep") > 1)
+        .agg(F.coalesce(F.sum("_n"), F.lit(0)).alias("n"))
+        .collect()[0]
+    )
+    return int(row["n"])
+
+
 def unique_violation_count(df: DataFrame, c: Unique) -> int:
     """COUNT of :func:`unique_violations` rows without the join-back:
     every row whose key appears >1 times == sum of group sizes over
@@ -184,6 +253,8 @@ def all_violations(
             parts.append(unique_violations(df, c, id_column=id_column))
         elif isinstance(c, ReferentialIn):
             parts.append(referential_violations(df, c, id_column=id_column))
+        elif isinstance(c, FunctionalDependency):
+            parts.append(fd_violations(df, c, id_column=id_column))
         # StatsBound / Drift are partition-level → operators/stats.py,
         # operators/drift.py
     out = parts[0]

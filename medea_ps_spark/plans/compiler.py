@@ -32,6 +32,7 @@ from .constraints import (
     ElementsSatisfy,
     Expr,
     InRange,
+    FunctionalDependency,
     IsIn,
     Matches,
     NotNull,
@@ -270,6 +271,16 @@ def _check_table_constraint(c: Constraint, fields: Dict[str, T.DataType]) -> Non
         _require_column(c, c.column, fields)
         if not c.dim_values and not c.dim_table:
             raise E.SchemaError(f"{c.name}: ReferentialIn needs dim_values or dim_table")
+    elif isinstance(c, FunctionalDependency):
+        if not c.determinants:
+            raise E.SchemaError(f"{c.name}: FunctionalDependency needs determinants")
+        for col in c.determinants:
+            _require_column(c, col, fields)
+        _require_column(c, c.dependent, fields)
+        if c.dependent in c.determinants:
+            raise E.SchemaError(
+                f"{c.name}: dependent {c.dependent!r} is also a determinant"
+            )
     if isinstance(c, StatsBound) and c.agg not in (
         "min", "max", "avg", "null_rate", "count",
     ):

@@ -180,6 +180,20 @@ class ReferentialIn(Constraint):
 
 
 @dataclass(frozen=True)
+class FunctionalDependency(Constraint):
+    """``determinants`` → ``dependent``: within every determinant group
+    there is at most ONE distinct dependent value (NULL counts as a
+    value, null-safely) — catches denormalization drift like one doc_id
+    mapping to two sources, or a (source, shard) pair carrying mixed
+    tokenizer versions. Compiled to one partial+final hash aggregate
+    over the determinant key; violating groups join back AQE-style like
+    Unique does."""
+
+    determinants: Sequence[str] = ()
+    dependent: str = ""
+
+
+@dataclass(frozen=True)
 class StatsBound(Constraint):
     """Partition-level bound on an aggregate: agg in
     {min,max,avg,null_rate,count} of ``column`` must lie in [lo, hi]."""
@@ -215,7 +229,7 @@ ROW_LEVEL = (
     AnyOf,
     Ref,
 )
-TABLE_LEVEL = (Unique, ReferentialIn, StatsBound, Drift)
+TABLE_LEVEL = (Unique, ReferentialIn, StatsBound, Drift, FunctionalDependency)
 
 
 @dataclass

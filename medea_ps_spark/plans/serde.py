@@ -17,7 +17,7 @@ _KINDS = {
         C.NotNull, C.TypeIs, C.IsIn, C.InRange, C.Matches, C.ArrayLenBetween,
         C.ElementsInRange, C.ElementsSatisfy, C.TupleRule, C.SizeEquals,
         C.Expr, C.AnyOf, C.Ref, C.Unique, C.ReferentialIn, C.StatsBound,
-        C.Drift,
+        C.Drift, C.FunctionalDependency,
     )
 }
 
@@ -45,7 +45,7 @@ def constraint_from_dict(d: Dict) -> C.Constraint:
         d["branches"] = tuple(constraint_from_dict(b) for b in d.get("branches", []))
     for k, v in list(d.items()):
         if isinstance(v, list) and k != "branches":
-            d[k] = tuple(v) if k in ("types", "positions") else v
+            d[k] = tuple(v) if k in ("types", "positions", "determinants") else v
     return cls(**d)
 
 
