@@ -74,6 +74,7 @@ def run_checkpointed_validation(
     partition_col: str = "source",
     root: str = "$start",
     metrics_only: bool = False,
+    uniqueness_sketch_col: Optional[str] = None,
 ) -> Dict[str, Dict]:
     """Partition-at-a-time validation with resume: violations are
     written per partition (immutable once done), metrics land in the
@@ -89,9 +90,19 @@ def run_checkpointed_validation(
     flag reprocesses partitions that completed metrics-only (their
     violation rows were never written) and materializes the rows, while
     partitions that already completed in row mode stay skipped in
-    either mode ("rows" is a superset of "metrics")."""
+    either mode ("rows" is a superset of "metrics").
+
+    ``uniqueness_sketch_col`` names a key column (e.g. ``doc_id``) whose
+    per-partition HLL sketch is persisted next to the manifest when the
+    partition completes (operators/hll.py) — afterwards
+    ``hll.store_uniqueness(spark, checkpoint_dir)`` answers GLOBAL
+    (cross-partition, cross-resume) uniqueness from the stored sketches
+    alone, no rescan of completed data. Written in both sink modes
+    (a sketch is a metrics artifact); overwrite-idempotent on
+    reprocess."""
     from ..plans.compiler import fingerprint_set
     from ..plans.constraints import FunctionalDependency, ReferentialIn, Unique
+    from . import hll as H
 
     fp = fingerprint_set(registry, root)
     ck = CheckpointedRun(
@@ -115,6 +126,11 @@ def run_checkpointed_validation(
             viol = V.all_violations(pdf, compiled, id_column=id_column)
             viol.write.mode("overwrite").parquet(
                 os.path.join(out_dir, "violations")
+            )
+        if uniqueness_sketch_col:
+            part = os.path.basename(out_dir).split("=", 1)[1]
+            H.write_partition_sketch(
+                pdf, uniqueness_sketch_col, checkpoint_dir, part
             )
         agg = validated.agg(
             F.count(F.lit(1)).alias("n_rows"),
