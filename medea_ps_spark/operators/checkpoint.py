@@ -53,6 +53,11 @@ class Manifest:
     partition_col: str
     fingerprint: str
     entries: Dict[str, PartitionEntry] = field(default_factory=dict)
+    # per-constraint {name: {"fp": ..., "level": "row"|"table"}} of the
+    # set this manifest's `fingerprint` hashes — what evolution deltas
+    # compare against (plans/evolution.py). Empty on pre-evolution
+    # manifests, which then fall back to full invalidation.
+    constraint_fps: Dict[str, Dict[str, str]] = field(default_factory=dict)
 
     def to_json(self) -> str:
         return json.dumps(
@@ -61,6 +66,7 @@ class Manifest:
                 "table": self.table,
                 "partition_col": self.partition_col,
                 "fingerprint": self.fingerprint,
+                "constraint_fps": self.constraint_fps,
                 "entries": {k: asdict(v) for k, v in self.entries.items()},
             },
             sort_keys=True,
@@ -75,6 +81,7 @@ class Manifest:
             table=raw["table"],
             partition_col=raw["partition_col"],
             fingerprint=raw["fingerprint"],
+            constraint_fps=raw.get("constraint_fps", {}),
         )
         m.entries = {k: PartitionEntry(**v) for k, v in raw["entries"].items()}
         return m

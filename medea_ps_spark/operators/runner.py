@@ -101,7 +101,7 @@ def run_checkpointed_validation(
     (a sketch is a metrics artifact); overwrite-idempotent on
     reprocess."""
     from ..plans.compiler import fingerprint_set
-    from ..plans.constraints import FunctionalDependency, ReferentialIn, Unique
+    from ..plans.evolution import constraint_fingerprints
     from . import hll as H
 
     fp = fingerprint_set(registry, root)
@@ -109,19 +109,18 @@ def run_checkpointed_validation(
         spark, table_path, checkpoint_dir, fingerprint=fp,
         partition_col=partition_col,
     )
+    # per-constraint hashes ride along so a later rule edit can evolve
+    # (plans/evolution.py) instead of invalidating everything
+    ck.manifest.constraint_fps = constraint_fingerprints(registry, root)
 
     def process(pdf: DataFrame, out_dir: str) -> Dict:
         compiled = registry.compile(pdf.schema, root=root)
         validated = V.validate(pdf, compiled)
-        n_table = 0
+        table_counts: Dict[str, int] = {}
         if metrics_only:
-            for c in compiled.table_constraints:
-                if isinstance(c, Unique):
-                    n_table += V.unique_violation_count(pdf, c)
-                elif isinstance(c, ReferentialIn):
-                    n_table += V.referential_violation_count(pdf, c)
-                elif isinstance(c, FunctionalDependency):
-                    n_table += V.fd_violation_count(pdf, c)
+            table_counts = _table_violation_counts(
+                pdf, compiled.table_constraints
+            )
         else:
             viol = V.all_violations(pdf, compiled, id_column=id_column)
             viol.write.mode("overwrite").parquet(
@@ -138,7 +137,180 @@ def run_checkpointed_validation(
         ).collect()[0]
         out = {"n_rows": agg["n_rows"], "n_failed": agg["n_failed"]}
         if metrics_only:
-            out["n_table_violations"] = n_table
+            out["n_table_violations"] = sum(table_counts.values())
+            out["table_violations"] = table_counts
         return out
 
     return ck.run(process, sink="metrics" if metrics_only else "rows")
+
+
+def _table_violation_counts(df: DataFrame, table_constraints) -> Dict[str, int]:
+    """Aggregate-only per-constraint table-violation counts — the
+    metrics-mode fast paths, keyed by constraint name so evolution can
+    drop/recompute individual entries."""
+    from ..plans.constraints import FunctionalDependency, ReferentialIn, Unique
+
+    out: Dict[str, int] = {}
+    for c in table_constraints:
+        if isinstance(c, Unique):
+            out[c.name] = V.unique_violation_count(df, c)
+        elif isinstance(c, ReferentialIn):
+            out[c.name] = V.referential_violation_count(df, c)
+        elif isinstance(c, FunctionalDependency):
+            out[c.name] = V.fd_violation_count(df, c)
+    return out
+
+
+def evolve_checkpointed_validation(
+    spark: SparkSession,
+    table_path: str,
+    registry: Registry,
+    checkpoint_dir: str,
+    id_column: str = "doc_id",
+    partition_col: str = "source",
+    root: str = "$start",
+    metrics_only: bool = False,
+) -> Dict:
+    """Apply an EDITED constraint set to an existing checkpointed run by
+    re-doing only the delta's work (plans/evolution.py) instead of the
+    blanket fingerprint invalidation:
+
+    * removed/changed constraints: their violation rows are dropped from
+      each completed partition's parquet by constraint_id — no
+      recompute;
+    * added/changed constraints: re-run ALONE per completed partition
+      (one subset compile), their rows merged into the sink — the
+      unchanged K-1 table checks (each a shuffle at 10^12 rows) never
+      re-execute;
+    * per-row verdict metrics (n_rows/n_failed): recomputed with one
+      shuffle-free scan only when a ROW-level constraint is touched,
+      reused otherwise;
+    * metrics-only entries adjust their per-constraint count map the
+      same way.
+
+    Partitions whose snapshot changed, whose entry predates
+    per-constraint fingerprints, or whose sink artifacts are torn fall
+    back to full reprocessing via :func:`run_checkpointed_validation`
+    (which also handles the remainder + first runs). Returns
+    ``{"delta": ..., "upgraded": {part: metrics},
+    "reprocessed": {part: metrics}}``. Crash-safe: the violation-merge
+    filter includes ADDED names, so replaying an interrupted upgrade is
+    idempotent, and entries flip to the new fingerprint one atomic
+    manifest write at a time."""
+    import time
+
+    from ..plans import evolution as EV
+    from ..plans.compiler import fingerprint_set
+    from .checkpoint import MANIFEST_NAME, Manifest, _atomic_write, snapshot_id_for
+
+    new_fp = fingerprint_set(registry, root)
+    new_fps = EV.constraint_fingerprints(registry, root)
+    manifest_path = os.path.join(checkpoint_dir, MANIFEST_NAME)
+    upgraded: Dict[str, Dict] = {}
+    delta_out: Optional[Dict] = None
+
+    if os.path.exists(manifest_path):
+        with open(manifest_path) as fh:
+            man = Manifest.from_json(fh.read())
+        if man.fingerprint != new_fp and man.constraint_fps:
+            delta = EV.constraint_delta(man.constraint_fps, new_fps)
+            delta_out = delta.to_dict()
+            touched_table = [
+                n for n in delta.touched
+                if (man.constraint_fps.get(n) or new_fps[n])["level"] == "table"
+            ]
+            sub = (
+                EV.subset_registry(registry, root, delta.rerun)
+                if delta.rerun
+                else None
+            )
+            for p, e in sorted(man.entries.items()):
+                pdir = f"{partition_col}={p}"
+                if (
+                    e.status != "done"
+                    or e.fingerprint != man.fingerprint
+                    or e.snapshot_id != snapshot_id_for(table_path, pdir)
+                ):
+                    continue  # full reprocess below
+                if _upgrade_partition(
+                    spark, table_path, checkpoint_dir, p, e, delta, sub,
+                    touched_table, registry, root, id_column, partition_col,
+                ):
+                    e.fingerprint = new_fp
+                    e.finished_at = time.time()
+                    upgraded[p] = e.metrics
+                    _atomic_write(manifest_path, man.to_json())
+            man.fingerprint = new_fp
+            man.constraint_fps = new_fps
+            _atomic_write(manifest_path, man.to_json())
+
+    reprocessed = run_checkpointed_validation(
+        spark, table_path, registry, checkpoint_dir,
+        id_column=id_column, partition_col=partition_col, root=root,
+        metrics_only=metrics_only,
+    )
+    return {"delta": delta_out, "upgraded": upgraded, "reprocessed": reprocessed}
+
+
+def _upgrade_partition(
+    spark, table_path, checkpoint_dir, p, entry, delta, sub,
+    touched_table, registry, root, id_column, partition_col,
+) -> bool:
+    """One completed partition, delta-only. Returns False when the
+    entry's artifacts can't support an in-place upgrade (torn sink dir,
+    pre-evolution metrics without a per-constraint map) — the caller
+    then leaves it pending for full reprocessing."""
+    import shutil
+
+    pdir = f"{partition_col}={p}"
+    df = spark.read.parquet(os.path.join(table_path, pdir)).withColumn(
+        partition_col, F.lit(p)
+    )
+    if entry.sink == "rows":
+        viol_dir = os.path.join(checkpoint_dir, "out", pdir, "violations")
+        if not os.path.isdir(viol_dir):
+            return False
+        keep = spark.read.parquet(viol_dir).where(
+            ~F.col("constraint_id").isin(delta.touched)
+        )
+        if sub is not None:
+            sub_compiled = sub.compile(df.schema, root=root)
+            merged = keep.unionByName(
+                V.all_violations(df, sub_compiled, id_column=id_column)
+            )
+        else:
+            merged = keep
+        tmp = viol_dir + "_new"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(viol_dir)
+        os.replace(tmp, viol_dir)
+    else:  # metrics-only entry
+        counts = entry.metrics.get("table_violations")
+        if counts is None:
+            if touched_table:
+                return False  # pre-evolution manifest: can't adjust counts
+            # row-only delta: table metrics are untouched by definition
+        else:
+            counts = dict(counts)
+            for n in delta.touched:
+                counts.pop(n, None)
+            if sub is not None:
+                sub_compiled = sub.compile(df.schema, root=root)
+                counts.update(
+                    _table_violation_counts(df, sub_compiled.table_constraints)
+                )
+            entry.metrics["table_violations"] = counts
+            entry.metrics["n_table_violations"] = sum(counts.values())
+    if delta.touches_row_level:
+        compiled = registry.compile(df.schema, root=root)
+        agg = (
+            V.validate(df, compiled)
+            .agg(
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum((~F.col(V.PASSED_COL)).cast("bigint")).alias("n_failed"),
+            )
+            .collect()[0]
+        )
+        entry.metrics["n_rows"] = agg["n_rows"]
+        entry.metrics["n_failed"] = agg["n_failed"]
+    return True

@@ -403,6 +403,24 @@ def _compile_row_constraint(
     raise E.SchemaError(f"unknown constraint type {type(c).__name__}")
 
 
+def encode_constraint(c: Constraint):
+    """Canonical JSON-able encoding of one constraint (nested branches
+    included) — the unit both `fingerprint_set` and
+    plans/evolution.constraint_fingerprints hash."""
+    d = {"kind": type(c).__name__}
+    for k, v in sorted(vars(c).items()):
+        if isinstance(v, (list, tuple)):
+            d[k] = [
+                encode_constraint(x) if isinstance(x, Constraint) else x
+                for x in v
+            ]
+        elif isinstance(v, Constraint):
+            d[k] = encode_constraint(v)
+        else:
+            d[k] = v
+    return d
+
+
 def fingerprint_set(reg: Registry, root: str) -> str:
     """Canonical hash of the root set + everything reachable from it —
     sorted, version-tagged — so checkpoint manifests invalidate when any
@@ -410,16 +428,7 @@ def fingerprint_set(reg: Registry, root: str) -> str:
     import hashlib
     import json
 
-    def enc(c: Constraint):
-        d = {"kind": type(c).__name__}
-        for k, v in sorted(vars(c).items()):
-            if isinstance(v, (list, tuple)):
-                d[k] = [enc(x) if isinstance(x, Constraint) else x for x in v]
-            elif isinstance(v, Constraint):
-                d[k] = enc(v)
-            else:
-                d[k] = v
-        return d
+    enc = encode_constraint
 
     reachable = {}
     todo = [root]
