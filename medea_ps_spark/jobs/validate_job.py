@@ -54,25 +54,56 @@ def main() -> None:
         help="skip the violation-row sink; count table-level "
              "violations with the aggregate-only fast paths",
     )
+    ap.add_argument(
+        "--evolve", action="store_true",
+        help="if the constraint set changed since the checkpoint was "
+             "written, upgrade completed partitions in place by "
+             "re-running only the added/changed constraints "
+             "(plans/evolution.py) instead of reprocessing everything",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
 
-    from medea_ps_spark.operators.runner import run_checkpointed_validation
+    from medea_ps_spark.operators.runner import (
+        evolve_checkpointed_validation,
+        run_checkpointed_validation,
+    )
     from medea_ps_spark.sources.synthetic import ALLOWED_SOURCES
 
     spark = SparkSession.builder.appName("medea-validate").getOrCreate()
     reg = build_registry(args.vocab, args.max_len, ALLOWED_SOURCES)
-    metrics = run_checkpointed_validation(
-        spark,
-        args.input,
-        reg,
-        args.checkpoint,
-        id_column=args.id_col,
-        partition_col=args.partition_col,
-        metrics_only=args.metrics_only,
-    )
-    print(json.dumps({"partitions": metrics}, sort_keys=True))
+    if args.evolve:
+        out = evolve_checkpointed_validation(
+            spark,
+            args.input,
+            reg,
+            args.checkpoint,
+            id_column=args.id_col,
+            partition_col=args.partition_col,
+            metrics_only=args.metrics_only,
+        )
+        print(
+            json.dumps(
+                {
+                    "delta": out["delta"],
+                    "upgraded": out["upgraded"],
+                    "partitions": out["reprocessed"],
+                },
+                sort_keys=True,
+            )
+        )
+    else:
+        metrics = run_checkpointed_validation(
+            spark,
+            args.input,
+            reg,
+            args.checkpoint,
+            id_column=args.id_col,
+            partition_col=args.partition_col,
+            metrics_only=args.metrics_only,
+        )
+        print(json.dumps({"partitions": metrics}, sort_keys=True))
     spark.stop()
 
 
