@@ -208,6 +208,41 @@ def test_evolve_metrics_sink(spark, table_path, tmp_path):
         assert set(m["table_violations"]) == {"uniq_doc", "fd_doc_src"}
 
 
+def test_evolve_skips_unchanged_table_checks(
+    spark, table_path, tmp_path, monkeypatch
+):
+    """The point of evolution: adding one table constraint must run
+    ONLY that constraint's aggregation on completed partitions — the
+    unchanged Unique check (a shuffle per partition at scale) never
+    re-executes."""
+    from medea_ps_spark.operators import validator as V
+
+    ck = str(tmp_path / "ck_skip")
+    n_parts = len(
+        run_checkpointed_validation(
+            spark, table_path, REG_V1(), ck, metrics_only=True
+        )
+    )
+    calls = {"unique": 0, "fd": 0}
+    real_unique, real_fd = V.unique_violation_count, V.fd_violation_count
+    monkeypatch.setattr(
+        V, "unique_violation_count",
+        lambda df, c: calls.__setitem__("unique", calls["unique"] + 1)
+        or real_unique(df, c),
+    )
+    monkeypatch.setattr(
+        V, "fd_violation_count",
+        lambda df, c: calls.__setitem__("fd", calls["fd"] + 1)
+        or real_fd(df, c),
+    )
+    out = evolve_checkpointed_validation(
+        spark, table_path, REG_V2(), ck, metrics_only=True
+    )
+    assert len(out["upgraded"]) == n_parts
+    assert calls["fd"] == n_parts  # the added constraint ran everywhere
+    assert calls["unique"] == 0  # the unchanged one never re-ran
+
+
 def test_evolve_without_constraint_fps_falls_back_full(
     spark, table_path, tmp_path
 ):
