@@ -75,6 +75,7 @@ def run_checkpointed_validation(
     root: str = "$start",
     metrics_only: bool = False,
     uniqueness_sketch_col: Optional[str] = None,
+    profile_specs: Optional[Dict[str, Dict]] = None,
 ) -> Dict[str, Dict]:
     """Partition-at-a-time validation with resume: violations are
     written per partition (immutable once done), metrics land in the
@@ -99,7 +100,13 @@ def run_checkpointed_validation(
     (cross-partition, cross-resume) uniqueness from the stored sketches
     alone, no rescan of completed data. Written in both sink modes
     (a sketch is a metrics artifact); overwrite-idempotent on
-    reprocess."""
+    reprocess.
+
+    ``profile_specs`` (same spec shape as drift.build_profile) persists
+    each completed partition's distribution profile — histogram counts,
+    t-digest, column stats — the same way (operators/profilestore.py):
+    global quantiles/histograms and corpus-vs-new-partition drift then
+    come from the store with no rescan."""
     from ..plans.compiler import fingerprint_set
     from ..plans.evolution import constraint_fingerprints
     from . import hll as H
@@ -131,6 +138,11 @@ def run_checkpointed_validation(
             H.write_partition_sketch(
                 pdf, uniqueness_sketch_col, checkpoint_dir, part
             )
+        if profile_specs:
+            from . import profilestore as P
+
+            part = os.path.basename(out_dir).split("=", 1)[1]
+            P.write_partition_profile(pdf, profile_specs, checkpoint_dir, part)
         agg = validated.agg(
             F.count(F.lit(1)).alias("n_rows"),
             F.sum((~F.col(V.PASSED_COL)).cast("bigint")).alias("n_failed"),
