@@ -35,6 +35,7 @@ from medea_ps_spark.plans.constraints import (
     NotNull,
     ReferentialIn,
     Unique,
+    When,
 )
 
 SF_DEFAULT = "/root/testdata/sf0.001"
@@ -42,6 +43,7 @@ SF_DEFAULT = "/root/testdata/sf0.001"
 ALLOWED_LANGS = ["en", "es", "de", "fr"]  # zh intentionally excluded → violations
 ALLOWED_SRC = [f"src{i}" for i in range(16)]  # src16..19 → referential violations
 NCHARS_HI = 300  # docs longer than this violate → non-trivial verdicts
+ZH_CHARS_HI = 150  # tighter cap, scoped to lang='zh' via When
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -65,6 +67,13 @@ def _registry() -> Registry:
                 InRange("n_chars_bounds", "n_chars", 1, NCHARS_HI),
                 IsIn("lang_allowed", "lang", ALLOWED_LANGS),
                 Matches("source_format", "source", r"^src[0-9]+$"),
+                # conditional scope (Deequ-style .where()): zh docs get a
+                # tighter length cap; FALSE/NULL-lang rows are exempt
+                When(
+                    "zh_n_chars_cap",
+                    "lang = 'zh'",
+                    InRange("_inner", "n_chars", None, ZH_CHARS_HI),
+                ),
                 ReferentialIn("source_known", "source", dim_values=ALLOWED_SRC),
                 Unique("doc_id_unique", "doc_id"),
             ],
@@ -85,6 +94,11 @@ _P_LANG = "lang IN ('en','es','de','fr')"
 _P_SRC_FMT = "regexp_matches(source, '^src[0-9]+$')"
 _SRC_LIST = ",".join(f"'{s}'" for s in ALLOWED_SRC)
 _P_SRC_KNOWN = f"source IN ({_SRC_LIST})"
+# When('zh_n_chars_cap') FAIL condition: scope true AND inner fails
+_P_ZH_FAIL = (
+    f"(coalesce(lang = 'zh', FALSE) "
+    f"AND NOT coalesce(n_chars <= {ZH_CHARS_HI}, TRUE))"
+)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1274,6 +1288,9 @@ UNION ALL
 SELECT doc_id, 'source_format', CAST(source AS VARCHAR)
   FROM documents WHERE NOT coalesce({_P_SRC_FMT}, TRUE)
 UNION ALL
+SELECT doc_id, 'zh_n_chars_cap', CAST(n_chars AS VARCHAR)
+  FROM documents WHERE {_P_ZH_FAIL}
+UNION ALL
 SELECT doc_id, 'source_known', coalesce(CAST(source AS VARCHAR), 'null')
   FROM documents WHERE source NOT IN ({_SRC_LIST}) OR source IS NULL
 UNION ALL
@@ -1288,14 +1305,15 @@ SELECT d.doc_id, 'doc_id_unique',
 _ROW_FAIL = (
     f"(doc_id IS NULL OR NOT coalesce(n_chars = length(text), TRUE) OR "
     f"NOT coalesce({_P_NCHARS}, TRUE) OR NOT coalesce({_P_LANG}, TRUE) OR "
-    f"NOT coalesce({_P_SRC_FMT}, TRUE))"
+    f"NOT coalesce({_P_SRC_FMT}, TRUE) OR {_P_ZH_FAIL})"
 )
 _N_VIOL = (
     f"(CASE WHEN doc_id IS NULL THEN 1 ELSE 0 END + "
     f"CASE WHEN NOT coalesce(n_chars = length(text), TRUE) THEN 1 ELSE 0 END + "
     f"CASE WHEN NOT coalesce({_P_NCHARS}, TRUE) THEN 1 ELSE 0 END + "
     f"CASE WHEN NOT coalesce({_P_LANG}, TRUE) THEN 1 ELSE 0 END + "
-    f"CASE WHEN NOT coalesce({_P_SRC_FMT}, TRUE) THEN 1 ELSE 0 END)"
+    f"CASE WHEN NOT coalesce({_P_SRC_FMT}, TRUE) THEN 1 ELSE 0 END + "
+    f"CASE WHEN {_P_ZH_FAIL} THEN 1 ELSE 0 END)"
 )
 
 _BUCKET = (

@@ -24,6 +24,15 @@ VIOLATIONS_COL = "violations"
 PASSED_COL = "passed"
 
 
+def _scoped(df: DataFrame, c) -> DataFrame:
+    """Apply a table constraint's optional ``where`` row scope: rows not
+    matching (or NULL) are exempt from the check entirely. Pure filter —
+    Catalyst pushes it into the scan, so a narrow scope PRUNES the
+    aggregate/join input rather than post-filtering it."""
+    where = getattr(c, "where", None)
+    return df.where(F.expr(where)) if where else df
+
+
 def validate(df: DataFrame, compiled: CompiledSet) -> DataFrame:
     """Append ``violations: array<struct<constraint_id,observed>>`` and
     ``passed: boolean`` in one projection (no shuffle, no extra scan)."""
@@ -85,6 +94,7 @@ def unique_violations(
     far past any broadcast threshold — so the join strategy is left to
     AQE, which converts to broadcast at runtime when the measured size
     allows and falls back to a shuffled join when it doesn't."""
+    df = _scoped(df, c)
     dups = (
         df.where(F.col(c.column).isNotNull())
         .groupBy(c.column)
@@ -116,6 +126,7 @@ def referential_violations(
     Broadcast ⇒ no shuffle of the fact side, so source skew (Zipf) is
     irrelevant; the salted path in operators/referential.py covers dims
     too big to broadcast."""
+    df = _scoped(df, c)
     spark = df.sparkSession
     dim_col = c.dim_column or c.column
     if dim is None:
@@ -167,6 +178,7 @@ def fd_violations(
     grouped them."""
     from .joinutil import null_safe_join
 
+    df = _scoped(df, c)
     bad = (
         _fd_group_distinct(df, c)
         .where(F.col("_n_dep") > 1)
@@ -198,7 +210,7 @@ def fd_violation_count(df: DataFrame, c: FunctionalDependency) -> int:
     of group sizes over violating groups, one aggregate pass (the
     metrics-only fast path, same trick as unique_violation_count)."""
     row = (
-        _fd_group_distinct(df, c)
+        _fd_group_distinct(_scoped(df, c), c)
         .where(F.col("_n_dep") > 1)
         .agg(F.coalesce(F.sum("_n"), F.lit(0)).alias("n"))
         .collect()[0]
@@ -213,7 +225,7 @@ def unique_violation_count(df: DataFrame, c: Unique) -> int:
     the distinct keys — at metrics-only scale (10^12 rows, violation
     rows sampled/sunk separately) this halves the uniqueness cost."""
     row = (
-        df.where(F.col(c.column).isNotNull())
+        _scoped(df, c).where(F.col(c.column).isNotNull())
         .groupBy(c.column)
         .agg(F.count(F.lit(1)).alias("_n"))
         .where(F.col("_n") > 1)
@@ -232,7 +244,7 @@ def referential_violation_count(df: DataFrame, c: ReferentialIn) -> int:
     if not c.dim_values:
         return referential_violations(df, c).count()
     bad = ~F.coalesce(F.col(c.column).isin(list(c.dim_values)), F.lit(False))
-    row = df.agg(
+    row = _scoped(df, c).agg(
         F.coalesce(F.sum(bad.cast("bigint")), F.lit(0)).alias("n")
     ).collect()[0]
     return int(row["n"])

@@ -44,6 +44,7 @@ from .constraints import (
     TypeIs,
     TABLE_LEVEL,
     Unique,
+    When,
 )
 
 START = "$start"
@@ -99,6 +100,8 @@ class Registry:
             elif isinstance(c, AnyOf):
                 for b in c.branches:
                     walk(b)
+            elif isinstance(c, When) and c.inner is not None:
+                walk(c.inner)
 
         for c in cs.constraints:
             walk(c)
@@ -262,6 +265,17 @@ def _check_row_constraint(
     elif isinstance(c, Ref):
         if c.target not in reg:
             raise E.MissingSchemaDefinition(c.target)
+    elif isinstance(c, When):
+        if not c.condition_sql:
+            raise E.SchemaError(f"{c.name}: When needs condition_sql")
+        if c.inner is None:
+            raise E.SchemaError(f"{c.name}: When needs an inner constraint")
+        if isinstance(c.inner, TABLE_LEVEL):
+            raise E.SchemaError(
+                f"{c.name}: table-level inner in When — scope table "
+                f"constraints with their own `where` field instead"
+            )
+        _check_row_constraint(c.inner, fields, reg)
 
 
 def _check_table_constraint(c: Constraint, fields: Dict[str, T.DataType]) -> None:
@@ -400,6 +414,18 @@ def _compile_row_constraint(
         return acc, obs
     if isinstance(c, Ref):
         return reg._inline_pred(c.target, fields), F.lit(None).cast("string")
+    if isinstance(c, When):
+        # pass ⟺ condition not satisfied (FALSE/NULL) OR inner passes
+        # under its own null-tolerance; the observed expression is the
+        # inner's and only evaluates on violating (condition-true) rows.
+        cond = F.coalesce(F.expr(c.condition_sql), F.lit(False))
+        if isinstance(c.inner, Ref):
+            inner_pred = reg._inline_pred(c.inner.target, fields)
+            inner_obs = F.lit(None).cast("string")
+        else:
+            p, inner_obs = _compile_row_constraint(c.inner, fields, reg)
+            inner_pred = _null_tolerant(c.inner, p)
+        return ~cond | inner_pred, inner_obs
     raise E.SchemaError(f"unknown constraint type {type(c).__name__}")
 
 

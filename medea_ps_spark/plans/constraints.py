@@ -157,15 +157,33 @@ class Ref(Constraint):
     target: str = ""
 
 
+@dataclass(frozen=True)
+class When(Constraint):
+    """Conditional scope (Deequ-style ``.where()``): ``inner`` applies
+    only to rows where ``condition_sql`` evaluates TRUE; rows where the
+    condition is FALSE or NULL pass unconditionally. ``inner`` may be any
+    row-level constraint, including Ref (the whole referenced set becomes
+    conditional) or a nested When. Violations are reported under THIS
+    constraint's name. No reference counterpart (Medea schemas are
+    unconditional) — north-rule generalization: 'sequences from source X
+    must satisfy Y' without forking the rule set per source."""
+
+    condition_sql: str = ""
+    inner: Optional[Constraint] = None
+
+
 # -- table-level constraints (need aggregation or a join) --------------------
 
 
 @dataclass(frozen=True)
 class Unique(Constraint):
     """Column values must be unique table-wide (doc_id uniqueness).
-    Exact via groupBy/count; approximate monitor via HLL sketch."""
+    Exact via groupBy/count; approximate monitor via HLL sketch.
+    ``where`` (SQL boolean over row columns, optional) scopes the check
+    to matching rows — uniqueness is then required only AMONG them."""
 
     column: str = ""
+    where: Optional[str] = None
 
 
 @dataclass(frozen=True)
@@ -177,6 +195,7 @@ class ReferentialIn(Constraint):
     dim_values: Sequence[str] = ()  # inline small dim; or use dim_table
     dim_table: Optional[str] = None  # path/name of dimension table
     dim_column: Optional[str] = None
+    where: Optional[str] = None  # SQL row scope; non-matching rows pass
 
 
 @dataclass(frozen=True)
@@ -191,6 +210,7 @@ class FunctionalDependency(Constraint):
 
     determinants: Sequence[str] = ()
     dependent: str = ""
+    where: Optional[str] = None  # SQL row scope; non-matching rows pass
 
 
 @dataclass(frozen=True)
@@ -228,6 +248,7 @@ ROW_LEVEL = (
     Expr,
     AnyOf,
     Ref,
+    When,
 )
 TABLE_LEVEL = (Unique, ReferentialIn, StatsBound, Drift, FunctionalDependency)
 

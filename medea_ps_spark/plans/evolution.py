@@ -47,13 +47,15 @@ TABLE = "table"
 
 def _constraint_refs(c: C.Constraint) -> Set[str]:
     """Set names reachable from ONE constraint (Ref targets, through
-    AnyOf nesting) — the direct edges of its closure."""
+    AnyOf/When nesting) — the direct edges of its closure."""
     out: Set[str] = set()
     if isinstance(c, C.Ref):
         out.add(c.target)
     elif isinstance(c, C.AnyOf):
         for b in c.branches:
             out |= _constraint_refs(b)
+    elif isinstance(c, C.When) and c.inner is not None:
+        out |= _constraint_refs(c.inner)
     return out
 
 

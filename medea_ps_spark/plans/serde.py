@@ -16,8 +16,8 @@ _KINDS = {
     for cls in (
         C.NotNull, C.TypeIs, C.IsIn, C.InRange, C.Matches, C.ArrayLenBetween,
         C.ElementsInRange, C.ElementsSatisfy, C.TupleRule, C.SizeEquals,
-        C.Expr, C.AnyOf, C.Ref, C.Unique, C.ReferentialIn, C.StatsBound,
-        C.Drift, C.FunctionalDependency,
+        C.Expr, C.AnyOf, C.Ref, C.When, C.Unique, C.ReferentialIn,
+        C.StatsBound, C.Drift, C.FunctionalDependency,
     )
 }
 
@@ -30,6 +30,8 @@ def constraint_to_dict(c: C.Constraint) -> Dict:
                 constraint_to_dict(x) if isinstance(x, C.Constraint) else x
                 for x in v
             ]
+        elif isinstance(v, C.Constraint):
+            d[k] = constraint_to_dict(v)
         else:
             d[k] = v
     return d
@@ -43,6 +45,8 @@ def constraint_from_dict(d: Dict) -> C.Constraint:
         raise ValueError(f"unknown constraint kind {kind!r}")
     if kind == "AnyOf":
         d["branches"] = tuple(constraint_from_dict(b) for b in d.get("branches", []))
+    if kind == "When" and d.get("inner") is not None:
+        d["inner"] = constraint_from_dict(d["inner"])
     for k, v in list(d.items()):
         if isinstance(v, list) and k != "branches":
             d[k] = tuple(v) if k in ("types", "positions", "determinants") else v
