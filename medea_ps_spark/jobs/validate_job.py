@@ -7,7 +7,9 @@
         [--partition-col source] [--vocab 50257] [--max-len 8192]
 
 Runs the BASELINE constraint set over the input table with
-checkpoint/resume and prints a JSON metrics summary.
+checkpoint/resume and prints a JSON metrics summary. ``--history DIR``
+additionally records the run's totals in a metrics history and reports
+run-over-run anomaly verdicts (operators/anomaly.py).
 """
 
 from __future__ import annotations
@@ -61,6 +63,20 @@ def main() -> None:
              "re-running only the added/changed constraints "
              "(plans/evolution.py) instead of reprocessing everything",
     )
+    ap.add_argument(
+        "--history", default=None,
+        help="metrics-history directory (operators/anomaly.py): after "
+             "the run, derive this run's totals from the checkpoint "
+             "manifest, check them against the recorded history "
+             "(RateOfChange + KSigma on fail_rate/n_rows), append them "
+             "under --run-id, and include the anomaly verdicts in the "
+             "output JSON",
+    )
+    ap.add_argument(
+        "--run-id", default=None,
+        help="history key for --history (default: derived from the "
+             "checkpoint fingerprint + run count)",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -83,16 +99,11 @@ def main() -> None:
             partition_col=args.partition_col,
             metrics_only=args.metrics_only,
         )
-        print(
-            json.dumps(
-                {
-                    "delta": out["delta"],
-                    "upgraded": out["upgraded"],
-                    "partitions": out["reprocessed"],
-                },
-                sort_keys=True,
-            )
-        )
+        result = {
+            "delta": out["delta"],
+            "upgraded": out["upgraded"],
+            "partitions": out["reprocessed"],
+        }
     else:
         metrics = run_checkpointed_validation(
             spark,
@@ -103,8 +114,39 @@ def main() -> None:
             partition_col=args.partition_col,
             metrics_only=args.metrics_only,
         )
-        print(json.dumps({"partitions": metrics}, sort_keys=True))
+        result = {"partitions": metrics}
+    if args.history:
+        result["anomalies"] = _monitor(args)
+    print(json.dumps(result, sort_keys=True))
     spark.stop()
+
+
+def _monitor(args) -> list:
+    """Record this run's manifest totals in the metrics history and
+    return the anomaly verdicts vs the runs before it (driver-side pure
+    Python over already-reduced scalars)."""
+    from medea_ps_spark.operators.anomaly import (
+        KSigma,
+        RateOfChange,
+        check_anomalies,
+        load_history,
+        metrics_from_manifest,
+        record_run_metrics,
+    )
+
+    history = load_history(args.history)
+    metrics = metrics_from_manifest(args.checkpoint)
+    run_id = args.run_id or f"run{len(history):06d}"
+    verdicts = check_anomalies(
+        history,
+        metrics,
+        {
+            "fail_rate": [RateOfChange(max_increase=1.0), KSigma(k=4.0)],
+            "n_rows": RateOfChange(max_increase=2.0, max_decrease=0.5),
+        },
+    )
+    record_run_metrics(args.history, run_id, metrics)
+    return verdicts
 
 
 if __name__ == "__main__":
