@@ -59,30 +59,20 @@ def _ngram_positions(
     ).select(id_col, "n_tok", "pos", F.md5(F.col("_g")).alias("_h"))
 
 
-def duplicate_spans(
-    df: DataFrame,
-    text_col: str = "text",
+def duplicated_positions(
+    pos: DataFrame,
     id_col: str = "doc_id",
-    k: int = 5,
     min_count: int = 2,
     broadcast_dups: bool = True,
 ) -> DataFrame:
-    """Maximal duplicated token spans per document:
-
-        (id_col, span_start, span_end, span_len)
-
-    A k-token n-gram is *duplicated* when its normalized form occurs
-    >= ``min_count`` times corpus-wide (any position, any document —
-    within-document repeats count, exactly as a suffix array would see
-    them). Overlapping and token-adjacent duplicated n-grams merge into
-    one span; ``span_start``/``span_end`` are inclusive 0-based token
-    indices, so ``span_len = span_end - span_start + 1 >= k``.
-    """
-    if k < 1:
-        raise ValueError(f"k must be >= 1, got {k}")
+    """From an n-gram position relation ``(id_col, pos, _h)`` keep the
+    positions whose hash occurs >= ``min_count`` times corpus-wide.
+    Shared by the text (:func:`duplicate_spans`) and token-id
+    (``tokenops.token_duplicate_spans``) variants — the duplicate-hash
+    relation is small (only repeated k-grams) and is broadcast by
+    default so the position rows never shuffle."""
     if min_count < 2:
         raise ValueError(f"min_count must be >= 2, got {min_count}")
-    pos = _ngram_positions(df, text_col, id_col, k)
     dup = (
         pos.groupBy("_h")
         .agg(F.count(F.lit(1)).alias("_c"))
@@ -91,13 +81,22 @@ def duplicate_spans(
     )
     if broadcast_dups:
         dup = F.broadcast(dup)
-    hits = pos.join(dup, "_h").select(id_col, "pos")
+    return pos.join(dup, "_h").select(id_col, "pos")
 
+
+def merge_duplicate_positions(
+    hits: DataFrame, id_col: str, k: int
+) -> DataFrame:
+    """Merge duplicated k-gram start positions ``(id_col, pos)`` into
+    maximal spans ``(id_col, span_start, span_end, span_len)`` — the
+    gaps-and-islands pass shared by the text and token-id variants.
+    Per-document window only: documents are bounded, no celebrity-key
+    risk on a primary key."""
     # gaps-and-islands: with fixed-width intervals [pos, pos+k-1] the
     # interval end is monotone in pos, so a lag suffices — a new span
     # starts when this n-gram neither overlaps nor touches the previous
     w = Window.partitionBy(id_col).orderBy("pos")
-    spans = (
+    return (
         hits.withColumn("_prev", F.lag("pos").over(w))
         .withColumn(
             "_new",
@@ -119,7 +118,34 @@ def duplicate_spans(
             .alias("span_len"),
         )
     )
-    return spans
+
+
+def duplicate_spans(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 5,
+    min_count: int = 2,
+    broadcast_dups: bool = True,
+) -> DataFrame:
+    """Maximal duplicated token spans per document:
+
+        (id_col, span_start, span_end, span_len)
+
+    A k-token n-gram is *duplicated* when its normalized form occurs
+    >= ``min_count`` times corpus-wide (any position, any document —
+    within-document repeats count, exactly as a suffix array would see
+    them). Overlapping and token-adjacent duplicated n-grams merge into
+    one span; ``span_start``/``span_end`` are inclusive 0-based token
+    indices, so ``span_len = span_end - span_start + 1 >= k``.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    pos = _ngram_positions(df, text_col, id_col, k)
+    hits = duplicated_positions(
+        pos, id_col, min_count=min_count, broadcast_dups=broadcast_dups
+    )
+    return merge_duplicate_positions(hits, id_col, k)
 
 
 def duplicate_span_stats(
@@ -142,17 +168,26 @@ def duplicate_span_stats(
         df, text_col, id_col, k=k, min_count=min_count,
         broadcast_dups=broadcast_dups,
     )
-    per_doc = spans.groupBy(id_col).agg(
-        F.count(F.lit(1)).cast("int").alias("n_spans"),
-        F.sum("span_len").cast("int").alias("dup_tokens"),
-    )
     toks = df.select(
         F.col(id_col),
         F.size(whitespace_tokens(normalize(F.col(text_col))))
         .cast("int")
         .alias("n_tok"),
     )
-    return toks.join(per_doc, id_col, "left").select(
+    return span_coverage_stats(spans, toks, id_col)
+
+
+def span_coverage_stats(
+    spans: DataFrame, ntok_df: DataFrame, id_col: str = "doc_id"
+) -> DataFrame:
+    """Roll spans up per document against ``ntok_df = (id_col, n_tok)``:
+    every input document appears, with zeros when nothing is duplicated
+    — shared by the text and token-id variants."""
+    per_doc = spans.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("int").alias("n_spans"),
+        F.sum("span_len").cast("int").alias("dup_tokens"),
+    )
+    return ntok_df.join(per_doc, id_col, "left").select(
         id_col,
         "n_tok",
         F.coalesce("n_spans", F.lit(0)).alias("n_spans"),
