@@ -797,6 +797,49 @@ def q_seq_token_histogram(spark, sf_dir):
     return token_histogram(df, "tokens", vocab=synthetic.VOCAB, nbuckets=32)
 
 
+def q_token_contamination(spark, sf_dir):
+    """Token-native GPT-3-Appendix-A decontamination over the sequence
+    fixture (operators/tokenops.py): the 'benchmark' set is the 8-token
+    slice (positions 3..10) of every row whose md5(doc_id) starts '00'
+    (deterministic ~1/256 sample; md5 is bit-identical in Spark and
+    DuckDB — the house oracle trick); flagged rows are the leaked
+    originals. The eval shingle set is broadcast, so the corpus side
+    never shuffles before the per-doc hit count (plan-gated in
+    test_tokenops)."""
+    from medea_ps_spark.operators.tokenops import token_contamination
+
+    df = spark.read.parquet(SEQ_FIXTURE)
+    ev = df.where(
+        F.md5("doc_id").like("00%") & (F.size("tokens") >= 10)
+    ).select(F.slice("tokens", 3, 8).alias("tokens"))
+    return (
+        token_contamination(df, ev, k=8)
+        .where(F.col("contaminated"))
+        .select("doc_id", "source", "n_contaminated_shingles")
+    )
+
+
+def q_token_dup_spans(spark, sf_dir):
+    """Token-native ExactSubstr duplicate-span stats (Lee et al. ACL
+    2022, hashed-8-gram approximation; operators/tokenops.py) over the
+    sequence fixture plus a deterministically planted duplicated slice
+    (md5(doc_id) LIKE '0%' rows re-id'd '~dup' — the fixture's own
+    doc_id dups carry different arrays, so real content duplication
+    must be planted). Emits per-row span coverage for duplicated rows
+    only; one 16-byte-hash shuffle + broadcast dup probe + per-doc
+    window."""
+    from medea_ps_spark.operators.tokenops import token_duplicate_span_stats
+
+    base = spark.read.parquet(SEQ_FIXTURE)
+    planted = base.where(
+        F.md5("doc_id").like("0%") & (F.size("tokens") >= 8)
+    ).withColumn("doc_id", F.concat("doc_id", F.lit("~dup")))
+    corpus = base.unionByName(planted)
+    return token_duplicate_span_stats(corpus, k=8).where(
+        F.col("dup_tokens") > 0
+    )
+
+
 def q_quantiles_tdigest(spark, sf_dir):
     """t-digest quantiles, driver-visible: per-source digests merged and
     queried, then CHECKED — for each p the estimate's empirical rank
@@ -1207,7 +1250,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     is the complementary threshold range of the SAME md5 coordinate
     mixture_sample verifies; disjoint/exhaustive/stability stay in
     test_sampling_packing.py) to make room for fd_check — the new
-    FunctionalDependency table-level constraint under the oracle."""
+    FunctionalDependency table-level constraint under the oracle.
+
+    Round-5 session 6 folded the two generic TPC-H breadth demos
+    (lineitem_pricing, orders_by_segment — tied to no SURVEY §2 row;
+    the functions stay, orders_by_segment keeps its broadcast plan
+    gate in test_plan_quality) to make room for the token-id-native
+    operators on the north-rule payload: token_contamination (GPT-3
+    App.-A decontamination on token 8-grams) and token_dup_spans
+    (Lee-et-al. ExactSubstr span coverage on token ids)."""
     return {
         "validate_violations": q_validate_violations,
         "validate_verdicts": q_validate_verdicts,
@@ -1242,8 +1293,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_top_users": q_events_top_users,
         "events_props_health": q_events_props_health,
         "events_user_skew": q_events_user_skew,
-        "lineitem_pricing": q_lineitem_pricing,
-        "orders_by_segment": q_orders_by_segment,
+        "token_contamination": q_token_contamination,
+        "token_dup_spans": q_token_dup_spans,
         "text_lm_score": q_text_lm_score,
         "seq_validation": q_seq_validation,
         "seq_token_histogram": q_seq_token_histogram,
@@ -1955,19 +2006,70 @@ def oracle_sql() -> dict[str, str]:
                      AS n_docs_redacted
             FROM counted GROUP BY source
         """,
-        "lineitem_pricing": """
-            SELECT l_returnflag, l_linestatus,
-                   round(sum(l_quantity), 2) AS sum_qty,
-                   round(sum(l_extendedprice), 2) AS sum_base_price,
-                   round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-                   count(*) AS count_order
-            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        "token_contamination": f"""
+            WITH ev AS (
+              SELECT DISTINCT array_to_string(tokens[3:10], ',') AS g
+              FROM read_parquet('{SEQ_FIXTURE}')
+              WHERE md5(doc_id) LIKE '00%' AND len(tokens) >= 10
+            ), tr AS (
+              SELECT doc_id, unnest(list_distinct(list_transform(
+                       range(1, greatest(len(tokens)-8+2, 1)),
+                       i -> array_to_string(tokens[i:i+7], ',')))) AS g
+              FROM read_parquet('{SEQ_FIXTURE}')
+            ), hits AS (
+              SELECT t.doc_id,
+                     CAST(count(*) AS BIGINT) AS n_contaminated_shingles
+              FROM tr t JOIN ev USING (g)
+              GROUP BY t.doc_id
+            )
+            SELECT d.doc_id, d.source, h.n_contaminated_shingles
+            FROM read_parquet('{SEQ_FIXTURE}') d JOIN hits h USING (doc_id)
         """,
-        "orders_by_segment": """
-            SELECT c_mktsegment, count(*) AS n_orders,
-                   round(sum(o_totalprice), 2) AS total_price
-            FROM orders JOIN customer ON o_custkey = c_custkey
-            GROUP BY c_mktsegment
+        "token_dup_spans": f"""
+            WITH corpus AS (
+              SELECT doc_id, tokens FROM read_parquet('{SEQ_FIXTURE}')
+              UNION ALL
+              SELECT doc_id || '~dup', tokens
+              FROM read_parquet('{SEQ_FIXTURE}')
+              WHERE md5(doc_id) LIKE '0%' AND len(tokens) >= 8
+            ), pos AS (
+              SELECT doc_id, u.pos, u.g FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                         range(1, greatest(len(tokens)-8+2, 1)),
+                         i -> {{'pos': i-1,
+                                'g': array_to_string(tokens[i:i+7], ',')}}
+                       )) AS u
+                FROM corpus)
+            ), dup AS (
+              SELECT g FROM pos GROUP BY g HAVING count(*) >= 2
+            ), flagged AS (
+              SELECT doc_id, pos,
+                     CASE WHEN lag(pos) OVER w IS NULL
+                            OR pos - lag(pos) OVER w > 8
+                          THEN 1 ELSE 0 END AS newflag
+              FROM (SELECT doc_id, pos FROM pos JOIN dup USING (g))
+              WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
+            ), spans AS (
+              SELECT doc_id, max(pos) - min(pos) + 8 AS span_len
+              FROM (SELECT doc_id, pos,
+                           sum(newflag) OVER (PARTITION BY doc_id
+                                              ORDER BY pos) AS span_id
+                    FROM flagged)
+              GROUP BY doc_id, span_id
+            ), spanstats AS (
+              SELECT doc_id, CAST(count(*) AS INT) AS n_spans,
+                     CAST(sum(span_len) AS INT) AS dup_tokens
+              FROM spans GROUP BY doc_id
+            )
+            SELECT t.doc_id,
+                   CAST(coalesce(len(t.tokens), 0) AS INT) AS n_tok,
+                   s.n_spans, s.dup_tokens,
+                   CASE WHEN coalesce(len(t.tokens), 0) = 0 THEN 0.0
+                        ELSE round(CAST(s.dup_tokens AS DOUBLE)
+                                   / len(t.tokens), 6)
+                   END AS dup_frac
+            FROM corpus t JOIN spanstats s USING (doc_id)
         """,
         "text_lm_score": """
             WITH t0 AS (
