@@ -303,7 +303,6 @@ def bench_queries(spark) -> dict:
         "drift_chi2", "medea_validate_events",
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
         "ann_topk", "ann_lsh", "text_quality",
-        "lineitem_pricing", "orders_by_segment",
         "stats_bounds", "events_user_skew", "seq_validation",
         # round-3 operators
         "events_asof", "events_sessions_detail", "seq_packing", "mixture_sample",
@@ -313,6 +312,7 @@ def bench_queries(spark) -> dict:
         "text_lm_score",
         # round-5 operators
         "table_diff", "quality_model", "dedup_incremental",
+        "token_contamination", "token_dup_spans",
     ]
     qs = em.queries()
     out = {}
