@@ -95,6 +95,98 @@ def train_holdout_split(
     return df.where(~pred), df.where(pred)
 
 
+def temperature_rates(
+    df: DataFrame,
+    alpha: float = 0.5,
+    strat_col: str = "source",
+    target_rows: Optional[int] = None,
+) -> Dict[str, float]:
+    """Per-stratum keep rates that realize a temperature-``alpha``
+    mixture (multilingual-sampling standard, XLM-R / mT5: target share
+    q_i ∝ n_i^alpha — alpha=1 keeps natural proportions, alpha→0
+    approaches uniform) by SUBSAMPLING ONLY (every rate ≤ 1).
+
+    The result keeps the largest corpus consistent with the mixture:
+    total T = min_i(n_i / q_i), rate_i = q_i·T / n_i — the scarcest
+    stratum (after tempering) is kept whole at rate 1.0. Pass
+    ``target_rows`` to shrink T further (rates scale linearly).
+
+    Driver-side by design: one groupBy(strat_col).count() action whose
+    result is bounded by the number of strata (hundreds, not rows) —
+    the same bounded-collect pattern as the sketch operators. Feed the
+    returned dict straight into :func:`stratified_mixture`."""
+    if alpha < 0.0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    counts = {
+        r[0]: r[1]
+        for r in df.where(F.col(strat_col).isNotNull())
+        .groupBy(strat_col)
+        .count()
+        .collect()
+    }
+    if not counts:
+        return {}
+    weights = {s: float(n) ** alpha for s, n in counts.items()}
+    wsum = sum(weights.values())
+    shares = {s: w / wsum for s, w in weights.items()}
+    total = min(counts[s] / shares[s] for s in counts)
+    if target_rows is not None:
+        if target_rows <= 0:
+            raise ValueError(f"target_rows must be positive, got {target_rows}")
+        total = min(total, float(target_rows))
+    return {s: min(shares[s] * total / counts[s], 1.0) for s in counts}
+
+
+def repeat_mixture(
+    df: DataFrame,
+    factors: Dict[str, float],
+    strat_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 42,
+    default_factor: float = 1.0,
+    epoch_col: str = "epoch",
+) -> DataFrame:
+    """Deterministic FRACTIONAL up/down-sampling by repetition — the
+    data-mixing complement of :func:`stratified_mixture` for factors
+    above 1.0 (e.g. wiki ×3.4, web ×0.6, the Pile/LLaMA-style epoch
+    weighting). A row with factor f appears floor(f) times, plus once
+    more iff its md5 coordinate falls below frac(f) — so expected
+    multiplicity is exactly f, realized multiplicity is a pure function
+    of (key, seed), and the same seed nests: raising a factor only ADDS
+    copies. Emitted copies carry 0-based ``epoch_col`` so downstream
+    shuffle/sharding can spread repeats across epochs.
+
+    Map-only: one case-expression for the copy count, one
+    ``explode(sequence(...))`` — no shuffle, no UDF, no RNG state; the
+    Zipf-skewed stratum column never becomes a join or aggregation
+    key. Fixed-width md5-hex threshold keeps it SQL-oracle-able."""
+    for s, f in factors.items():
+        if f < 0.0:
+            raise ValueError(f"factor for {s!r} must be >= 0, got {f}")
+    if default_factor < 0.0:
+        raise ValueError(f"default_factor must be >= 0, got {default_factor}")
+
+    def n_copies(f: float) -> Column:
+        whole, frac = int(f), f - int(f)
+        extra = keep_predicate(F.col(key_col), frac, seed).cast("int")
+        return F.lit(whole) + (extra if frac > 0.0 else F.lit(0))
+
+    copies = n_copies(default_factor)
+    for value, f in sorted(factors.items()):
+        copies = F.when(F.col(strat_col) == value, n_copies(f)).otherwise(
+            copies
+        )
+    return (
+        df.withColumn("_n_copies", copies)
+        .where(F.col("_n_copies") > 0)
+        .withColumn(
+            epoch_col,
+            F.explode(F.sequence(F.lit(0), F.col("_n_copies") - 1)),
+        )
+        .drop("_n_copies")
+    )
+
+
 def stratified_exact_sample(
     df: DataFrame,
     n_per_stratum: int,
