@@ -48,11 +48,26 @@ def _words(text_col: str):
         .otherwise(F.split(norm, " "))
 
 
-def unigram_counts(df: DataFrame, text_col: str = "text") -> DataFrame:
+def _terms(text_col: str, tokens_col: Optional[str]):
+    """The term array to score: whitespace words of ``text_col``, or —
+    token-native path — the pre-tokenized id array ``tokens_col`` cast
+    to strings (ids join and count exactly like words; NULL arrays act
+    like empty text)."""
+    if tokens_col is not None:
+        return F.col(tokens_col).cast("array<string>")
+    return _words(text_col)
+
+
+def unigram_counts(
+    df: DataFrame,
+    text_col: str = "text",
+    tokens_col: Optional[str] = None,
+) -> DataFrame:
     """(word, n) corpus frequency table — explode + partial/final agg;
-    the shuffle carries per-partition distinct words only."""
+    the shuffle carries per-partition distinct words only. Pass
+    ``tokens_col`` to build the table over pre-tokenized id arrays."""
     return (
-        df.select(F.explode(_words(text_col)).alias("word"))
+        df.select(F.explode(_terms(text_col, tokens_col)).alias("word"))
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("n"))
     )
@@ -64,14 +79,22 @@ def unigram_lm_scores(
     id_col: str = "doc_id",
     reference: Optional[DataFrame] = None,
     alpha: float = 1.0,
+    tokens_col: Optional[str] = None,
 ) -> DataFrame:
     """(id, n_tokens, bits_per_token, ppl) per non-empty document.
 
     ``reference`` is a (word, n) table from :func:`unigram_counts`;
     None means self-scoring (the corpus is its own reference — no OOV).
     ``alpha`` is the Laplace constant. bits_per_token is the mean
-    negative log2 Laplace probability; ppl = 2^bits."""
-    freq = reference if reference is not None else unigram_counts(df, text_col)
+    negative log2 Laplace probability; ppl = 2^bits. Pass
+    ``tokens_col`` to score pre-tokenized id arrays instead of text
+    (the token-native path for the north-rule sequence table; a
+    reference built with the same ``tokens_col`` composes)."""
+    freq = (
+        reference
+        if reference is not None
+        else unigram_counts(df, text_col, tokens_col=tokens_col)
+    )
     totals = freq.agg(
         F.sum("n").cast("double").alias("_N"),
         F.count(F.lit(1)).cast("double").alias("_V"),
@@ -84,7 +107,10 @@ def unigram_lm_scores(
     # natural-language docs repeat heavily — and the per-doc score
     # becomes the count-weighted mean, the same rational number.
     toks = (
-        df.select(F.col(id_col), F.explode(_words(text_col)).alias("word"))
+        df.select(
+            F.col(id_col),
+            F.explode(_terms(text_col, tokens_col)).alias("word"),
+        )
         .groupBy(id_col, "word")
         .agg(F.count(F.lit(1)).alias("_k"))
     )

@@ -53,11 +53,23 @@ def hashed_features(text: Column) -> Column:
     return F.coalesce(feats, F.array().cast("array<string>"))
 
 
+def hashed_token_features(tokens: Column) -> Column:
+    """Token-native feature set: id unigrams + id bigrams of a
+    pre-tokenized ``array<int>`` column (same hashing-trick plumbing,
+    no text). NULL arrays map to an empty feature set."""
+    from .tokenops import token_shingles
+
+    unis = F.transform(tokens, lambda t: t.cast("string"))
+    feats = F.concat(unis, token_shingles(tokens, 2))
+    return F.coalesce(feats, F.array().cast("array<string>"))
+
+
 def quality_score(
     df: DataFrame,
     text_col: str = "text",
     id_col: str = "doc_id",
     threshold_milli: int = 0,
+    tokens_col: str | None = None,
 ) -> DataFrame:
     """Score every document with the hashed linear model.
 
@@ -69,8 +81,15 @@ def quality_score(
     The label compare is done in cross-multiplied integer space
     (score_milli * WEIGHT_SCALE >= threshold_milli * n_features) so the
     verdict is exact — no float rounding anywhere.
+
+    Pass ``tokens_col`` to score pre-tokenized id arrays instead of
+    text (id unigram+bigram features; identical downstream math).
     """
-    feats = hashed_features(F.col(text_col))
+    feats = (
+        hashed_token_features(F.col(tokens_col))
+        if tokens_col is not None
+        else hashed_features(F.col(text_col))
+    )
     weights = F.transform(feats, lambda f: _feature_weight(f))
     score = F.aggregate(
         weights, F.lit(0).cast("long"), lambda acc, x: acc + x

@@ -212,6 +212,65 @@ def test_contamination_plan_is_broadcast_no_corpus_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_unigram_lm_scores_token_native_matches_text_twin(spark):
+    """Scoring the id array must equal scoring the space-joined decimal
+    text — same (doc, term, count) relation, same rationals."""
+    from medea_ps_spark.operators.lmscore import unigram_lm_scores
+
+    df = spark.read.parquet(FIXTURE).limit(500).cache()
+    tok = {
+        r["doc_id"]: (r["n_tokens"], r["bits_per_token"])
+        for r in unigram_lm_scores(df, tokens_col="tokens").collect()
+    }
+    txt_df = df.select(
+        "doc_id", F.concat_ws(" ", F.col("tokens").cast("array<string>")).alias("text")
+    )
+    txt = {
+        r["doc_id"]: (r["n_tokens"], r["bits_per_token"])
+        for r in unigram_lm_scores(txt_df, text_col="text").collect()
+    }
+    df.unpersist()
+    assert tok.keys() == txt.keys() and len(tok) > 0
+    for d in tok:
+        assert tok[d][0] == txt[d][0]
+        assert tok[d][1] == pytest.approx(txt[d][1], rel=1e-12)
+
+
+def test_quality_score_token_native_python_oracle(spark):
+    """Token-native hashed-feature scoring vs a hashlib re-computation
+    of the md5 60-bit-lane integer weights."""
+    import hashlib
+
+    from medea_ps_spark.operators.qualitymodel import (
+        WEIGHT_SCALE,
+        quality_score,
+    )
+
+    rows = [("a", [7, 42, 7]), ("b", [123456]), ("c", []), ("d", None)]
+    df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+    got = {
+        r["doc_id"]: (r["n_features"], r["score_milli"], r["quality_label"])
+        for r in quality_score(df, tokens_col="tokens").collect()
+    }
+
+    def w(feat: str) -> int:
+        lane = int(hashlib.md5(feat.encode()).hexdigest()[:15], 16)
+        return lane % WEIGHT_SCALE - WEIGHT_SCALE // 2
+
+    for doc_id, toks in rows:
+        toks = toks or []
+        feats = [str(t) for t in toks] + [
+            f"{toks[i]},{toks[i+1]}" for i in range(len(toks) - 1)
+        ]
+        score = sum(w(f) for f in feats)
+        label = (
+            "drop"
+            if not feats
+            else ("keep" if score * WEIGHT_SCALE >= 0 else "drop")
+        )
+        assert got[doc_id] == (len(feats), score, label), doc_id
+
+
 def test_shingles_guardrails(spark):
     with pytest.raises(ValueError):
         token_shingles(F.col("x"), 0)
