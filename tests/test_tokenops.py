@@ -271,6 +271,91 @@ def test_quality_score_token_native_python_oracle(spark):
         assert got[doc_id] == (len(feats), score, label), doc_id
 
 
+def _py_duplicate_span_stats(rows, k, min_count=2):
+    """Pure-Python reference: corpus k-gram counts → duplicated
+    positions → island merge (new span when pos - prev > k)."""
+    from collections import Counter
+
+    grams = Counter()
+    per_row = {}
+    for doc_id, toks in rows:
+        toks = toks or []
+        gs = [tuple(toks[i : i + k]) for i in range(len(toks) - k + 1)]
+        per_row.setdefault(doc_id, []).append((len(toks), gs))
+        grams.update(gs)
+    out = {}
+    for doc_id, row_list in per_row.items():
+        # positions pool across rows sharing a doc_id (window semantics)
+        positions = sorted(
+            {
+                pos
+                for _, gs in row_list
+                for pos, g in enumerate(gs)
+                if grams[g] >= min_count
+            }
+        )
+        spans = []
+        for pos in positions:
+            if spans and pos - spans[-1][1] <= k:
+                spans[-1][1] = pos
+            else:
+                spans.append([pos, pos])
+        n_spans = len(spans)
+        dup_tokens = sum(e - s + k for s, e in spans)
+        for n_tok, _ in row_list:
+            frac = 0.0 if n_tok == 0 else round(dup_tokens / n_tok, 6)
+            out.setdefault(doc_id, []).append(
+                (n_tok, n_spans, dup_tokens, frac)
+            )
+    return out
+
+
+def test_duplicate_span_stats_fuzz_vs_python(spark):
+    """Seeded randomized corpora (tiny vocab → organic duplicate
+    k-grams, planted shared runs, empty/short rows, duplicate doc_ids)
+    must match the pure-Python reference exactly."""
+    import random
+
+    rng = random.Random(1234)
+    for trial in range(6):
+        k = rng.choice([2, 3, 4])
+        vocab = rng.choice([3, 6, 50])
+        rows = []
+        shared = [rng.randrange(vocab) for _ in range(k + rng.randint(0, 3))]
+        for i in range(rng.randint(20, 60)):
+            n = rng.randint(0, 25)
+            toks = [rng.randrange(vocab) for _ in range(n)]
+            if rng.random() < 0.3 and n >= 2:
+                at = rng.randrange(max(1, n - 1))
+                toks = toks[:at] + shared + toks[at:]
+            # occasional duplicate doc_id (fixture-realistic)
+            doc = f"t{trial}_d{i if rng.random() > 0.1 else max(0, i - 1)}"
+            rows.append((doc, toks))
+        df = spark.createDataFrame(rows, "doc_id string, tokens array<int>")
+        got = {}
+        for r in token_duplicate_span_stats(df, k=k).collect():
+            got.setdefault(r["doc_id"], []).append(
+                (r["n_tok"], r["n_spans"], r["dup_tokens"], r["dup_frac"])
+            )
+        want = _py_duplicate_span_stats(rows, k)
+        assert got.keys() == want.keys(), trial
+        for d in got:
+            assert sorted(got[d]) == sorted(want[d]), (trial, d)
+
+
+def test_dup_spans_plan_shuffles_hashes_only(spark):
+    """The duplicate-detection aggregation must shuffle md5 digests,
+    never token arrays: every hashpartitioning Exchange's input schema
+    is free of the tokens column, and the dup-hash probe is broadcast."""
+    df = spark.read.parquet(FIXTURE)
+    out = token_duplicate_spans(df, k=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    for line in plan.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "tokens" not in line, line
+
+
 def test_shingles_guardrails(spark):
     with pytest.raises(ValueError):
         token_shingles(F.col("x"), 0)
