@@ -129,3 +129,37 @@ def diff_summary(diff: DataFrame) -> DataFrame:
     kind with its count — the check a validation gate actually asserts
     on ("0 removed, N added, 0 changed")."""
     return diff.groupBy("change").agg(F.count(F.lit(1)).alias("n_keys"))
+
+
+def schema_diff(old: DataFrame, new: DataFrame) -> list:
+    """Column-level schema reconciliation between two snapshots — the
+    metadata complement of :func:`table_diff` (a pipeline gate wants
+    "no column vanished, no type narrowed" BEFORE it pays for a row
+    diff). Driver-side only: schemas are already on the driver, no job
+    runs.
+
+    Returns a sorted list of dicts:
+        {"column", "change": added|removed|type_changed|
+         nullability_changed, "old", "new"}
+    Type changes compare the full simpleString (nested struct/array
+    element changes count); a column with both a type and nullability
+    change reports type_changed (the stronger verdict)."""
+    o = {f.name: f for f in old.schema.fields}
+    n = {f.name: f for f in new.schema.fields}
+    out = []
+    for name in sorted(o.keys() | n.keys()):
+        fo, fn = o.get(name), n.get(name)
+        if fo is None:
+            out.append({"column": name, "change": "added", "old": None,
+                        "new": fn.dataType.simpleString()})
+        elif fn is None:
+            out.append({"column": name, "change": "removed",
+                        "old": fo.dataType.simpleString(), "new": None})
+        elif fo.dataType.simpleString() != fn.dataType.simpleString():
+            out.append({"column": name, "change": "type_changed",
+                        "old": fo.dataType.simpleString(),
+                        "new": fn.dataType.simpleString()})
+        elif fo.nullable != fn.nullable:
+            out.append({"column": name, "change": "nullability_changed",
+                        "old": str(fo.nullable), "new": str(fn.nullable)})
+    return out

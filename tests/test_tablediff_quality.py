@@ -169,3 +169,34 @@ def test_quality_score_trained_weights(spark):
     # doc 2 feats: spam, junk, "spam junk"(default 0)
     assert rows[2]["score_milli"] == -700
     assert rows[2]["quality_label"] == "drop"
+
+
+def test_schema_diff_all_change_kinds(spark):
+    from medea_ps_spark.operators.tablediff import schema_diff
+
+    old = spark.createDataFrame(
+        [], "a int, b string, c array<int>, d double, e int"
+    )
+    new_df = spark.createDataFrame(
+        [], "a bigint, b string, c array<string>, f string, e int"
+    )
+    # force a nullability difference on e
+    from pyspark.sql.types import (
+        IntegerType, StructField, StructType, StringType, LongType, ArrayType, DoubleType,
+    )
+    new_schema = StructType([
+        StructField("a", LongType()),
+        StructField("b", StringType()),
+        StructField("c", ArrayType(StringType())),
+        StructField("f", StringType()),
+        StructField("e", IntegerType(), nullable=False),
+    ])
+    new_df = spark.createDataFrame([], new_schema)
+    got = {d["column"]: d for d in schema_diff(old, new_df)}
+    assert got["a"]["change"] == "type_changed" and got["a"]["new"] == "bigint"
+    assert got["c"]["change"] == "type_changed"  # nested element change
+    assert got["d"]["change"] == "removed"
+    assert got["f"]["change"] == "added"
+    assert got["e"]["change"] == "nullability_changed"
+    assert "b" not in got
+    assert schema_diff(old, old) == []
