@@ -2017,10 +2017,11 @@ def oracle_sql() -> dict[str, str]:
                        i -> array_to_string(tokens[i:i+7], ',')))) AS g
               FROM read_parquet('{SEQ_FIXTURE}')
             ), hits AS (
-              SELECT t.doc_id,
+              SELECT doc_id,
                      CAST(count(*) AS BIGINT) AS n_contaminated_shingles
-              FROM tr t JOIN ev USING (g)
-              GROUP BY t.doc_id
+              FROM (SELECT DISTINCT t.doc_id, t.g
+                    FROM tr t JOIN ev USING (g))
+              GROUP BY doc_id
             )
             SELECT d.doc_id, d.source, h.n_contaminated_shingles
             FROM read_parquet('{SEQ_FIXTURE}') d JOIN hits h USING (doc_id)

@@ -143,7 +143,10 @@ def schema_diff(old: DataFrame, new: DataFrame) -> list:
          nullability_changed, "old", "new"}
     Type changes compare the full simpleString (nested struct/array
     element changes count); a column with both a type and nullability
-    change reports type_changed (the stronger verdict)."""
+    change reports type_changed (the stronger verdict). Nullability
+    compares the full dataType JSON, so nested flips
+    (array containsNull, map valueContainsNull, struct field nullable)
+    are caught even though simpleString omits them."""
     o = {f.name: f for f in old.schema.fields}
     n = {f.name: f for f in new.schema.fields}
     out = []
@@ -159,7 +162,8 @@ def schema_diff(old: DataFrame, new: DataFrame) -> list:
             out.append({"column": name, "change": "type_changed",
                         "old": fo.dataType.simpleString(),
                         "new": fn.dataType.simpleString()})
-        elif fo.nullable != fn.nullable:
+        elif (fo.nullable != fn.nullable
+              or fo.dataType.json() != fn.dataType.json()):
             out.append({"column": name, "change": "nullability_changed",
-                        "old": str(fo.nullable), "new": str(fn.nullable)})
+                        "old": fo.json(), "new": fn.json()})
     return out

@@ -53,7 +53,9 @@ def token_shingles(tokens: Column, k: int) -> Column:
     than ``k`` tokens (or NULL) yield an empty array."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
-    n = F.size(tokens)  # size(NULL) = -1, caught by the n < k branch
+    # size(NULL) is NULL under ANSI (Spark 4 default) — coalesce so NULL
+    # arrays hit the empty branch as documented
+    n = F.coalesce(F.size(tokens), F.lit(-1))
     return F.when(n < k, F.array().cast("array<string>")).otherwise(
         F.transform(
             F.sequence(F.lit(1), n - F.lit(k - 1)),
@@ -91,7 +93,10 @@ def token_contamination(
     an eval/benchmark set (GPT-3 Appendix-A decontamination, applied
     post-tokenization). Returns the input columns plus
     ``n_contaminated_shingles`` (count of DISTINCT overlapping k-grams
-    per sequence) and a boolean ``contaminated``.
+    per ``id_col``) and a boolean ``contaminated``. ``id_col`` is
+    treated as the primary key: rows sharing an id pool into ONE
+    distinct-gram count, stamped on every such row — enforce a Unique
+    constraint upstream if duplicate ids would be a data error.
 
     Scale shape: the eval set is tiny relative to the corpus — its
     distinct shingle set is broadcast, so the corpus side never
@@ -114,6 +119,9 @@ def token_contamination(
     )
     hits = (
         tr.join(F.broadcast(ev), "_g")
+        # distinct per doc_id, not per row (ids pool): applied AFTER
+        # the broadcast probe so only the tiny hit set shuffles for it
+        .distinct()
         .groupBy(id_col)
         .agg(F.count(F.lit(1)).alias("n_contaminated_shingles"))
     )

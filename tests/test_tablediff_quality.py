@@ -200,3 +200,11 @@ def test_schema_diff_all_change_kinds(spark):
     assert got["e"]["change"] == "nullability_changed"
     assert "b" not in got
     assert schema_diff(old, old) == []
+    # nested nullability (array containsNull) — invisible to
+    # simpleString, must still be caught
+    s1 = StructType([StructField("c", ArrayType(IntegerType(), containsNull=False))])
+    s2 = StructType([StructField("c", ArrayType(IntegerType(), containsNull=True))])
+    nested = schema_diff(
+        spark.createDataFrame([], s1), spark.createDataFrame([], s2)
+    )
+    assert [d["change"] for d in nested] == ["nullability_changed"]

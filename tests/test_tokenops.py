@@ -206,10 +206,11 @@ def test_contamination_plan_is_broadcast_no_corpus_shuffle(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
-    # exactly ONE hash shuffle in the whole job — the per-doc hit count
-    # (keyed on the primary key); the probe join and the join back to
+    # exactly TWO hash shuffles in the whole job — the post-probe
+    # per-doc distinct and the hit count (both over the tiny hit set,
+    # keyed on the primary key); the probe join and the join back to
     # the input are both broadcast, so the corpus scan never shuffles
-    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange hashpartitioning") == 2
 
 
 def test_unigram_lm_scores_token_native_matches_text_twin(spark):
