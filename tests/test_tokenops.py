@@ -344,6 +344,48 @@ def test_duplicate_span_stats_fuzz_vs_python(spark):
             assert sorted(got[d]) == sorted(want[d]), (trial, d)
 
 
+def test_contamination_fuzz_vs_python(spark):
+    """Seeded randomized train/eval corpora (tiny vocab, duplicate
+    doc_ids pooling, NULL/short rows) must match a set-based Python
+    reference: distinct overlapping k-grams per doc_id."""
+    import random
+
+    rng = random.Random(777)
+    for trial in range(4):
+        k = rng.choice([2, 3])
+        vocab = rng.choice([4, 8])
+        train = []
+        for i in range(rng.randint(20, 50)):
+            n = rng.randint(0, 15)
+            doc = f"t{trial}_d{i if rng.random() > 0.15 else max(0, i - 1)}"
+            train.append((doc, [rng.randrange(vocab) for _ in range(n)]))
+        evals = [
+            (f"e{j}", [rng.randrange(vocab) for _ in range(rng.randint(0, 6))])
+            for j in range(rng.randint(1, 5))
+        ]
+        df = spark.createDataFrame(train, "doc_id string, tokens array<int>")
+        ev = spark.createDataFrame(evals, "eid string, tokens array<int>")
+        got = {}
+        for r in token_contamination(df, ev, k=k).collect():
+            got.setdefault(r["doc_id"], set()).add(
+                (r["n_contaminated_shingles"], r["contaminated"])
+            )
+        ev_grams = {
+            tuple(t[i : i + k])
+            for _, t in evals
+            for i in range(len(t) - k + 1)
+        }
+        pooled = {}
+        for doc, toks in train:
+            grams = {
+                tuple(toks[i : i + k]) for i in range(len(toks) - k + 1)
+            }
+            pooled.setdefault(doc, set()).update(grams & ev_grams)
+        for doc, _ in train:
+            n = len(pooled[doc])
+            assert got[doc] == {(n, n > 0)}, (trial, doc)
+
+
 def test_dup_spans_plan_shuffles_hashes_only(spark):
     """The duplicate-detection aggregation must shuffle md5 digests,
     never token arrays: every hashpartitioning Exchange's input schema
