@@ -57,6 +57,14 @@ def main() -> None:
              "violations with the aggregate-only fast paths",
     )
     ap.add_argument(
+        "--violation-limit", type=int, default=None,
+        help="sampled sink: write at most N deterministic exemplar "
+             "violation rows per constraint per partition "
+             "(violations_sample parquet) plus exact per-constraint "
+             "counts in the manifest — bounds sink size on arbitrarily "
+             "bad data; exclusive with --metrics-only",
+    )
+    ap.add_argument(
         "--evolve", action="store_true",
         help="if the constraint set changed since the checkpoint was "
              "written, upgrade completed partitions in place by "
@@ -98,6 +106,7 @@ def main() -> None:
             id_column=args.id_col,
             partition_col=args.partition_col,
             metrics_only=args.metrics_only,
+            violation_limit=args.violation_limit,
         )
         result = {
             "delta": out["delta"],
@@ -113,6 +122,7 @@ def main() -> None:
             id_column=args.id_col,
             partition_col=args.partition_col,
             metrics_only=args.metrics_only,
+            violation_limit=args.violation_limit,
         )
         result = {"partitions": metrics}
     if args.history:

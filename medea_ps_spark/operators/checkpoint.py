@@ -29,6 +29,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 MANIFEST_NAME = "manifest.json"
 
+# Sink-mode coverage lattice: an entry completed at rank R satisfies any
+# request at rank <= R ("rows" materializes everything "sampled" does,
+# which materializes everything "metrics" does). Unknown modes rank -1
+# so they never satisfy anything (forward-compat: reprocess).
+_SINK_RANK = {"metrics": 0, "sampled": 1, "rows": 2}
+
 
 @dataclass
 class PartitionEntry:
@@ -38,11 +44,14 @@ class PartitionEntry:
     status: str = "pending"  # pending | done | failed
     metrics: Dict = field(default_factory=dict)
     finished_at: Optional[float] = None
-    # what the completed run materialized: "rows" wrote the violation
-    # parquet (and is a superset of "metrics"); "metrics" wrote counts
-    # only. A later row-sink rerun must NOT skip metrics-only entries —
-    # their violation rows were never written (ADVICE r4). Manifests
-    # from before this field default to "rows" (the historical mode).
+    # what the completed run materialized, ordered by coverage
+    # (checkpoint._SINK_RANK): "rows" wrote the full violation parquet;
+    # "sampled" wrote capped exemplars + exact per-constraint counts;
+    # "metrics" wrote counts only. A rerun requesting MORE than the
+    # entry materialized must not skip it — e.g. a row-sink rerun
+    # reprocesses metrics-only entries because their violation rows
+    # were never written (ADVICE r4). Manifests from before this field
+    # default to "rows" (the historical mode).
     sink: str = "rows"
 
 
@@ -161,11 +170,13 @@ class CheckpointedRun:
     def pending_partitions(self, sink: str = "rows") -> List[str]:
         """Partitions needing (re)processing for the requested ``sink``
         mode. An entry satisfies the request iff it is done at the same
-        snapshot+fingerprint AND its recorded sink covers the request:
-        "rows" covers both modes (it wrote the parquet and has the row
-        metrics); "metrics" covers only a metrics request — so a
-        row-mode rerun reprocesses metrics-only partitions and actually
-        materializes their violation rows."""
+        snapshot+fingerprint AND its recorded sink covers the request
+        under the ``_SINK_RANK`` lattice: "rows" covers everything;
+        "sampled" covers sampled and metrics requests; "metrics" covers
+        only metrics — so a row-mode rerun reprocesses metrics-only and
+        sampled partitions and actually materializes their full
+        violation rows."""
+        want = _SINK_RANK.get(sink, _SINK_RANK["rows"])
         out = []
         for p in self.partitions():
             snap = snapshot_id_for(self.table_path, f"{self.partition_col}={p}")
@@ -175,7 +186,7 @@ class CheckpointedRun:
                 or e.status != "done"
                 or e.snapshot_id != snap
                 or e.fingerprint != self.manifest.fingerprint
-                or (e.sink != "rows" and e.sink != sink)
+                or _SINK_RANK.get(e.sink, -1) < want
             ):
                 out.append(p)
         return out

@@ -74,6 +74,7 @@ def run_checkpointed_validation(
     partition_col: str = "source",
     root: str = "$start",
     metrics_only: bool = False,
+    violation_limit: Optional[int] = None,
     uniqueness_sketch_col: Optional[str] = None,
     profile_specs: Optional[Dict[str, Dict]] = None,
 ) -> Dict[str, Dict]:
@@ -93,6 +94,20 @@ def run_checkpointed_validation(
     partitions that already completed in row mode stay skipped in
     either mode ("rows" is a superset of "metrics").
 
+    ``violation_limit=N`` (exclusive with ``metrics_only``) selects the
+    "sampled" sink: per partition, at most N deterministic exemplar
+    rows PER CONSTRAINT land in ``violations_sample`` parquet
+    (validator.sample_violation_rows — md5-keyed, layout-independent)
+    together with exact per-constraint totals, which also land in the
+    manifest metrics as ``violation_counts``. This bounds the sink to
+    O(constraints x N) per partition even when a broken rule flags
+    every row — the full row sink on 10^12 bad rows would be
+    write-bound — while keeping counts exact for monitoring
+    (operators/anomaly.metrics_from_manifest). Resume coverage:
+    "rows" > "sampled" > "metrics" (checkpoint._SINK_RANK) — a sampled
+    rerun skips row-mode partitions, a row-mode rerun reprocesses
+    sampled ones.
+
     ``uniqueness_sketch_col`` names a key column (e.g. ``doc_id``) whose
     per-partition HLL sketch is persisted next to the manifest when the
     partition completes (operators/hll.py) — afterwards
@@ -111,6 +126,12 @@ def run_checkpointed_validation(
     from ..plans.evolution import constraint_fingerprints
     from . import hll as H
 
+    if metrics_only and violation_limit is not None:
+        raise ValueError(
+            "metrics_only and violation_limit are exclusive sink modes"
+        )
+    if violation_limit is not None and violation_limit < 1:
+        raise ValueError(f"violation_limit must be >= 1, got {violation_limit}")
     fp = fingerprint_set(registry, root)
     ck = CheckpointedRun(
         spark, table_path, checkpoint_dir, fingerprint=fp,
@@ -124,10 +145,20 @@ def run_checkpointed_validation(
         compiled = registry.compile(pdf.schema, root=root)
         validated = V.validate(pdf, compiled)
         table_counts: Dict[str, int] = {}
+        violation_counts: Optional[Dict[str, int]] = None
         if metrics_only:
             table_counts = _table_violation_counts(
                 pdf, compiled.table_constraints
             )
+        elif violation_limit is not None:
+            samp = V.sampled_violations(
+                pdf, compiled, id_column=id_column, limit=violation_limit
+            )
+            sdir = os.path.join(out_dir, "violations_sample")
+            samp.write.mode("overwrite").parquet(sdir)
+            # exact counts come back from the (bounded: <= limit x
+            # constraints rows) sample itself — no second data scan
+            violation_counts = _counts_from_sample(spark, sdir)
         else:
             viol = V.all_violations(pdf, compiled, id_column=id_column)
             viol.write.mode("overwrite").parquet(
@@ -151,9 +182,36 @@ def run_checkpointed_validation(
         if metrics_only:
             out["n_table_violations"] = sum(table_counts.values())
             out["table_violations"] = table_counts
+        elif violation_limit is not None:
+            out["violation_counts"] = violation_counts
+            out["n_table_violations"] = sum(
+                n
+                for c, n in violation_counts.items()
+                if c in {t.name for t in compiled.table_constraints}
+            )
+            out["violation_limit"] = violation_limit
         return out
 
-    return ck.run(process, sink="metrics" if metrics_only else "rows")
+    sink = "rows"
+    if metrics_only:
+        sink = "metrics"
+    elif violation_limit is not None:
+        sink = "sampled"
+    return ck.run(process, sink=sink)
+
+
+def _counts_from_sample(spark: SparkSession, sample_dir: str) -> Dict[str, int]:
+    """Per-constraint exact totals carried by a ``violations_sample``
+    parquet (every exemplar row repeats its constraint's ``n_total``).
+    The read is bounded by limit x constraints rows. Constraints with
+    zero violations are (correctly) absent."""
+    rows = (
+        spark.read.parquet(sample_dir)
+        .groupBy("constraint_id")
+        .agg(F.max("n_total").alias("n"))
+        .collect()
+    )
+    return {r["constraint_id"]: int(r["n"]) for r in rows}
 
 
 def _table_violation_counts(df: DataFrame, table_constraints) -> Dict[str, int]:
@@ -182,6 +240,7 @@ def evolve_checkpointed_validation(
     partition_col: str = "source",
     root: str = "$start",
     metrics_only: bool = False,
+    violation_limit: Optional[int] = None,
 ) -> Dict:
     """Apply an EDITED constraint set to an existing checkpointed run by
     re-doing only the delta's work (plans/evolution.py) instead of the
@@ -198,7 +257,11 @@ def evolve_checkpointed_validation(
       shuffle-free scan only when a ROW-level constraint is touched,
       reused otherwise;
     * metrics-only entries adjust their per-constraint count map the
-      same way.
+      same way;
+    * sampled entries merge their exemplar parquet like row entries
+      (touched constraints' exemplars drop, delta constraints re-sample
+      ALONE at the entry's own recorded ``violation_limit``) and
+      rebuild ``violation_counts`` from the merged, bounded sample.
 
     Partitions whose snapshot changed, whose entry predates
     per-constraint fingerprints, or whose sink artifacts are torn fall
@@ -259,7 +322,7 @@ def evolve_checkpointed_validation(
     reprocessed = run_checkpointed_validation(
         spark, table_path, registry, checkpoint_dir,
         id_column=id_column, partition_col=partition_col, root=root,
-        metrics_only=metrics_only,
+        metrics_only=metrics_only, violation_limit=violation_limit,
     )
     return {"delta": delta_out, "upgraded": upgraded, "reprocessed": reprocessed}
 
@@ -296,6 +359,36 @@ def _upgrade_partition(
         merged.write.mode("overwrite").parquet(tmp)
         shutil.rmtree(viol_dir)
         os.replace(tmp, viol_dir)
+    elif entry.sink == "sampled":
+        sdir = os.path.join(checkpoint_dir, "out", pdir, "violations_sample")
+        limit = entry.metrics.get("violation_limit")
+        if not os.path.isdir(sdir) or not limit:
+            return False  # torn sink / pre-limit metrics: full reprocess
+        keep = spark.read.parquet(sdir).where(
+            ~F.col("constraint_id").isin(delta.touched)
+        )
+        if sub is not None:
+            sub_compiled = sub.compile(df.schema, root=root)
+            merged = keep.unionByName(
+                V.sampled_violations(
+                    df, sub_compiled, id_column=id_column, limit=int(limit)
+                )
+            )
+        else:
+            merged = keep
+        tmp = sdir + "_new"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(sdir)
+        os.replace(tmp, sdir)
+        counts = _counts_from_sample(spark, sdir)
+        entry.metrics["violation_counts"] = counts
+        table_names = {
+            t.name
+            for t in registry.compile(df.schema, root=root).table_constraints
+        }
+        entry.metrics["n_table_violations"] = sum(
+            n for c, n in counts.items() if c in table_names
+        )
     else:  # metrics-only entry
         counts = entry.metrics.get("table_violations")
         if counts is None:

@@ -275,6 +275,104 @@ def all_violations(
     return out
 
 
+_VPID = "_vio_pid"
+_VKEY = "_vio_key"
+_VLRANK = "_vio_lrank"
+_VLCNT = "_vio_lcnt"
+
+
+def sample_violation_rows(
+    viol: DataFrame, id_column: str = "doc_id", limit: int = 1000
+) -> DataFrame:
+    """Bound a violation stream to ``limit`` deterministic exemplar rows
+    per constraint WITHOUT losing the exact totals: output columns are
+    ``(id, constraint_id, observed, rank, n_total)`` where ``rank`` is
+    1..limit under a content-based md5 order and ``n_total`` is the
+    EXACT violation count for that constraint.
+
+    Why it exists: the full violation sink is output-unbounded — one
+    broken rule over 10^12 rows emits 10^12 violation rows, and writing
+    them costs more than the validation did. Capping per constraint
+    keeps the sink O(constraints x limit) no matter how wrong the data
+    is, while the counts keep the metrics exact.
+
+    Scale design (one pass, no second scan, bounded state):
+
+    1. Local phase — rank rows within each (constraint_id, input
+       partition) cell under the md5 key and count the cell with a
+       window over the SAME hash exchange. Only rows with local rank <=
+       limit survive; the cell's count rides ONLY its rank-1 survivor.
+    2. Global phase — re-rank the <= limit x n_partitions survivors per
+       constraint; the exact total is the sum of the <= n_partitions
+       cell counts carried by rank-1 rows. (A cell with any violations
+       always has a rank-1 survivor, so no count is lost.)
+
+    The order key is md5 over the row content (id, constraint_id,
+    observed — NULLs sentineled), so the exemplar set and ranks are
+    layout-independent (the same fixed-width-hex trick the sampling and
+    LSH operators use, BENCH/BASELINE.md) and reproducible in ANSI SQL
+    for the DuckDB oracle. Window-function ORDER nulls need no care:
+    the key is never NULL by construction.
+    """
+    from pyspark.sql import Window
+
+    if limit < 1:
+        raise ValueError(f"limit must be >= 1, got {limit}")
+    key = F.md5(
+        F.concat(
+            F.coalesce(F.col(id_column).cast("string"), F.lit("\x00")),
+            F.lit("\x1f"),
+            F.col("constraint_id"),
+            F.lit("\x1f"),
+            F.coalesce(F.col("observed"), F.lit("\x00")),
+        )
+    )
+    cell = Window.partitionBy("constraint_id", _VPID)
+    per_constraint = Window.partitionBy("constraint_id")
+    local = (
+        viol.withColumn(_VKEY, key)
+        .withColumn(_VPID, F.spark_partition_id())
+        .withColumn(_VLRANK, F.row_number().over(cell.orderBy(_VKEY)))
+        .withColumn(_VLCNT, F.count(F.lit(1)).over(cell))
+        .where(F.col(_VLRANK) <= limit)
+    )
+    return (
+        local.withColumn(
+            "n_total",
+            F.sum(F.when(F.col(_VLRANK) == 1, F.col(_VLCNT))).over(
+                per_constraint
+            ),
+        )
+        .withColumn("rank", F.row_number().over(per_constraint.orderBy(_VKEY)))
+        .where(F.col("rank") <= limit)
+        .select(
+            F.col(id_column),
+            F.col("constraint_id"),
+            F.col("observed"),
+            F.col("rank"),
+            F.col("n_total").cast("bigint").alias("n_total"),
+        )
+    )
+
+
+def sampled_violations(
+    df: DataFrame,
+    compiled: CompiledSet,
+    id_column: str = "doc_id",
+    limit: int = 1000,
+) -> DataFrame:
+    """:func:`all_violations` bounded by :func:`sample_violation_rows` —
+    the sink for routine 10^12-row runs where violation EXEMPLARS (for
+    triage) plus exact per-constraint counts (for metrics/anomaly
+    detection) are wanted, but a full row sink would be write-bound on
+    bad data."""
+    return sample_violation_rows(
+        all_violations(df, compiled, id_column=id_column),
+        id_column=id_column,
+        limit=limit,
+    )
+
+
 def partition_verdicts(
     validated: DataFrame, partition_col: str = "source"
 ) -> DataFrame:

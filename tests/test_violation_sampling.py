@@ -1,0 +1,237 @@
+"""Bounded violation-exemplar sink (validator.sample_violation_rows /
+sampled_violations, runner violation_limit="sampled" sink): at most N
+deterministic md5-keyed exemplar rows per constraint, exact totals
+riding the same shuffle, layout-independent output, sink-mode lattice
+(rows > sampled > metrics), and evolution over sampled entries.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from medea_ps_spark.jobs.validate_job import build_registry
+from medea_ps_spark.operators import validator as V
+from medea_ps_spark.operators.runner import (
+    evolve_checkpointed_validation,
+    run_checkpointed_validation,
+)
+from medea_ps_spark.sources import synthetic
+from medea_ps_spark.sources.synthetic import ALLOWED_SOURCES
+
+LIMIT = 7
+
+
+def _registry():
+    return build_registry(vocab=50257, max_len=128,
+                          allowed_sources=ALLOWED_SOURCES)
+
+
+@pytest.fixture(scope="module")
+def seq_df(spark):
+    # max_len=128 in the registry vs the generator's default → plenty of
+    # n_tok_bounds violations on top of the seeded ~0.1-0.2% rates
+    return synthetic.sequences(spark, 3_000, seed=33)
+
+
+def _key(doc_id, constraint_id, observed):
+    blob = "\x1f".join(
+        [
+            doc_id if doc_id is not None else "\x00",
+            constraint_id,
+            observed if observed is not None else "\x00",
+        ]
+    )
+    return hashlib.md5(blob.encode()).hexdigest()
+
+
+def _expected(viol_rows, limit):
+    """Pure-Python reference: per constraint, sort by (md5 key), take
+    ``limit``, rank 1.., n_total = full count."""
+    by_c = {}
+    for r in viol_rows:
+        by_c.setdefault(r["constraint_id"], []).append(r)
+    out = set()
+    for cid, rows in by_c.items():
+        rows = sorted(rows, key=lambda r: _key(r["doc_id"], cid, r["observed"]))
+        for rank, r in enumerate(rows[:limit], start=1):
+            out.add((r["doc_id"], cid, r["observed"], rank, len(rows)))
+    return out
+
+
+def test_sample_matches_python_reference(spark, seq_df):
+    compiled = _registry().compile(seq_df.schema, root="$start")
+    full = V.all_violations(seq_df, compiled).collect()
+    assert len(full) > 5 * LIMIT  # the cap actually bites
+    got = {
+        tuple(r)
+        for r in V.sampled_violations(seq_df, compiled, limit=LIMIT).collect()
+    }
+    assert got == _expected(full, LIMIT)
+
+
+def test_layout_independent(spark, seq_df):
+    """The exemplar set, ranks, and totals must not depend on the input
+    partitioning (content-based order key + two-phase rank)."""
+    compiled = _registry().compile(seq_df.schema, root="$start")
+    a = V.sampled_violations(
+        seq_df.repartition(13, "doc_id"), compiled, limit=LIMIT
+    ).collect()
+    b = V.sampled_violations(seq_df.coalesce(1), compiled, limit=LIMIT).collect()
+    assert {tuple(r) for r in a} == {tuple(r) for r in b}
+
+
+def test_totals_exact_under_tiny_limit(spark, seq_df):
+    """limit=1 keeps one exemplar per constraint but n_total stays the
+    exact full count (counts ride rank-1 survivors of every cell)."""
+    compiled = _registry().compile(seq_df.schema, root="$start")
+    full = V.all_violations(seq_df, compiled)
+    true_counts = {
+        r["constraint_id"]: r["n"]
+        for r in full.groupBy("constraint_id").agg(
+            F.count(F.lit(1)).alias("n")
+        ).collect()
+    }
+    one = V.sampled_violations(seq_df, compiled, limit=1).collect()
+    assert len(one) == len(true_counts)
+    assert {r["constraint_id"]: r["n_total"] for r in one} == true_counts
+    assert all(r["rank"] == 1 for r in one)
+
+
+def test_limit_validation(spark, seq_df):
+    compiled = _registry().compile(seq_df.schema, root="$start")
+    with pytest.raises(ValueError):
+        V.sampled_violations(seq_df, compiled, limit=0).collect()
+
+
+# -- runner integration --------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def table_path(spark, tmp_path_factory):
+    p = str(tmp_path_factory.mktemp("vsamp") / "sequences")
+    synthetic.sequences(spark, 3_000, seed=33).write.mode(
+        "overwrite"
+    ).partitionBy("source").parquet(p)
+    return p
+
+
+def test_runner_sampled_sink(spark, table_path, tmp_path):
+    ck = str(tmp_path / "ck")
+    reg = _registry()
+    res = run_checkpointed_validation(
+        spark, table_path, reg, ck, violation_limit=LIMIT
+    )
+    assert len(res) > 2
+    # full-run ground truth for counts, per partition
+    ck_rows = str(tmp_path / "ck_rows")
+    run_checkpointed_validation(spark, table_path, reg, ck_rows)
+    for p, m in res.items():
+        sdir = os.path.join(ck, "out", f"source={p}", "violations_sample")
+        assert os.path.isdir(sdir)
+        assert not os.path.exists(
+            os.path.join(ck, "out", f"source={p}", "violations")
+        )
+        samp = spark.read.parquet(sdir)
+        per_c = {
+            r["constraint_id"]: (r["n"], r["nt"])
+            for r in samp.groupBy("constraint_id")
+            .agg(F.count(F.lit(1)).alias("n"), F.max("n_total").alias("nt"))
+            .collect()
+        }
+        true_counts = {
+            r["constraint_id"]: r["n"]
+            for r in spark.read.parquet(
+                os.path.join(ck_rows, "out", f"source={p}", "violations")
+            )
+            .groupBy("constraint_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        for cid, n_true in true_counts.items():
+            n_samp, n_tot = per_c[cid]
+            assert n_samp == min(LIMIT, n_true)
+            assert n_tot == n_true
+        # manifest metrics mirror the exact counts
+        assert m["violation_counts"] == true_counts
+        assert m["violation_limit"] == LIMIT
+        assert "n_table_violations" in m
+
+
+def test_metrics_only_and_limit_exclusive(spark, table_path, tmp_path):
+    with pytest.raises(ValueError):
+        run_checkpointed_validation(
+            spark, table_path, _registry(), str(tmp_path / "ck"),
+            metrics_only=True, violation_limit=5,
+        )
+    with pytest.raises(ValueError):
+        run_checkpointed_validation(
+            spark, table_path, _registry(), str(tmp_path / "ck"),
+            violation_limit=0,
+        )
+
+
+def test_sink_lattice(spark, table_path, tmp_path):
+    """rows > sampled > metrics: a rerun asking for MORE than an entry
+    materialized reprocesses it; asking for less (or equal) skips."""
+    ck = str(tmp_path / "ck")
+    reg = _registry()
+    first = run_checkpointed_validation(
+        spark, table_path, reg, ck, violation_limit=LIMIT
+    )
+    assert first
+    # metrics request: sampled entries cover it → all skipped
+    assert run_checkpointed_validation(
+        spark, table_path, reg, ck, metrics_only=True
+    ) == {}
+    # sampled request again: covered → skipped
+    assert run_checkpointed_validation(
+        spark, table_path, reg, ck, violation_limit=LIMIT
+    ) == {}
+    # rows request: NOT covered → everything reprocesses, rows appear
+    full = run_checkpointed_validation(spark, table_path, reg, ck)
+    assert set(full) == set(first)
+    for p in full:
+        assert os.path.isdir(os.path.join(ck, "out", f"source={p}", "violations"))
+    # and sampled request is now covered by rows entries
+    assert run_checkpointed_validation(
+        spark, table_path, reg, ck, violation_limit=LIMIT
+    ) == {}
+
+
+def test_evolve_sampled_equals_scratch(spark, table_path, tmp_path):
+    """Evolution over sampled entries: touched constraints' exemplars
+    drop, delta re-samples alone at the recorded limit, counts rebuild —
+    result identical to a from-scratch sampled run under the new set."""
+    from tests.test_evolution import REG_V1, REG_V2
+
+    ck_evo = str(tmp_path / "ck_evo")
+    ck_new = str(tmp_path / "ck_new")
+    r1 = run_checkpointed_validation(
+        spark, table_path, REG_V1(), ck_evo, violation_limit=LIMIT
+    )
+    assert len(r1) > 2
+    out = evolve_checkpointed_validation(
+        spark, table_path, REG_V2(), ck_evo, violation_limit=LIMIT
+    )
+    assert sorted(out["upgraded"]) == sorted(r1)
+    assert out["reprocessed"] == {}
+    scratch = run_checkpointed_validation(
+        spark, table_path, REG_V2(), ck_new, violation_limit=LIMIT
+    )
+    read = lambda ck: {
+        tuple(r)
+        for r in spark.read.parquet(
+            os.path.join(ck, "out", "*", "violations_sample")
+        ).collect()
+    }
+    assert read(ck_evo) == read(ck_new)
+    assert out["upgraded"] == scratch
+    # idempotent
+    again = evolve_checkpointed_validation(
+        spark, table_path, REG_V2(), ck_evo, violation_limit=LIMIT
+    )
+    assert again["upgraded"] == {} and again["reprocessed"] == {}
