@@ -532,21 +532,22 @@ def q_text_fingerprints(spark, sf_dir):
     )
 
 
-def q_array_ops_check(spark, sf_dir):
-    """Array-constraint family on a DERIVED token array (split of text)
-    so the ArrayLenBetween/ElementsSatisfy semantics get a full SQL
-    oracle (the xxhash-seeded sequences table can't)."""
-    from medea_ps_spark.functions.text import whitespace_tokens
+SAMPLE_LIMIT = 25
 
-    df = _docs(spark, sf_dir)
-    toks = whitespace_tokens(F.col("text"))
-    ok_len = (F.size(toks) >= 10) & (F.size(toks) <= 100)
-    ok_words = F.forall(toks, lambda w: F.length(w) <= 12)
-    return df.groupBy("lang").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum((~ok_len).cast("bigint")).alias("n_len_violations"),
-        F.sum((~ok_words).cast("bigint")).alias("n_word_violations"),
-    )
+
+def q_validate_violations_sample(spark, sf_dir):
+    """Bounded violation-exemplar sink over the flagship constraint set
+    (validator.sample_violation_rows): at most SAMPLE_LIMIT
+    deterministic md5-keyed exemplar rows per constraint, with the
+    EXACT per-constraint total riding the same shuffle — the sink shape
+    for 10^12-row runs where a broken rule would otherwise make the
+    write cost dominate. Layout-independent by construction (content-
+    based order key), which is what makes the DuckDB window-function
+    oracle bit-reproducible."""
+    df, compiled = _validated(spark, sf_dir)
+    return V.sampled_violations(
+        df, compiled, id_column="doc_id", limit=SAMPLE_LIMIT
+    ).select("doc_id", "constraint_id", "observed", "rank", "n_total")
 
 
 def q_events_top_users(spark, sf_dir):
@@ -1258,7 +1259,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     gate in test_plan_quality) to make room for the token-id-native
     operators on the north-rule payload: token_contamination (GPT-3
     App.-A decontamination on token 8-grams) and token_dup_spans
-    (Lee-et-al. ExactSubstr span coverage on token ids)."""
+    (Lee-et-al. ExactSubstr span coverage on token ids).
+
+    Round-5 session 7 folded array_ops_check (array-length/element
+    semantics remain driver-covered by seq_validation and the
+    tokens-in-vocab rows, and pytest-covered in the conformance suite)
+    to make room for validate_violations_sample — the bounded
+    violation-exemplar sink (capped md5-keyed exemplars + exact
+    per-constraint totals in one shuffle) under the oracle."""
     return {
         "validate_violations": q_validate_violations,
         "validate_verdicts": q_validate_verdicts,
@@ -1289,7 +1297,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_clean": q_corpus_clean,
         "contamination": q_contamination,
         "text_pii_scrub": q_text_pii_scrub,
-        "array_ops_check": q_array_ops_check,
+        "validate_violations_sample": q_validate_violations_sample,
         "events_top_users": q_events_top_users,
         "events_props_health": q_events_props_health,
         "events_user_skew": q_events_user_skew,
@@ -1893,14 +1901,27 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT {_FP}) AS n_distinct
             FROM documents
         """,
-        "array_ops_check": f"""
-            SELECT lang, count(*) AS n_docs,
-                   CAST(sum(CASE WHEN NOT ({_NTOK} BETWEEN 10 AND 100)
-                            THEN 1 ELSE 0 END) AS BIGINT) AS n_len_violations,
-                   CAST(sum(CASE WHEN len(list_filter({_TOKS},
-                                 w -> length(w) > 12)) > 0
-                            THEN 1 ELSE 0 END) AS BIGINT) AS n_word_violations
-            FROM documents GROUP BY lang
+        "validate_violations_sample": f"""
+            WITH v AS ({_VIOL_SQL}),
+            k AS (
+              SELECT doc_id, constraint_id, observed,
+                     md5(concat(
+                       coalesce(CAST(doc_id AS VARCHAR), chr(0)), chr(31),
+                       constraint_id, chr(31),
+                       coalesce(observed, chr(0)))) AS vkey
+              FROM v
+            ),
+            r AS (
+              SELECT doc_id, constraint_id, observed,
+                     CAST(row_number() OVER (
+                       PARTITION BY constraint_id ORDER BY vkey) AS INT)
+                       AS rank,
+                     CAST(count(*) OVER (PARTITION BY constraint_id)
+                       AS BIGINT) AS n_total
+              FROM k
+            )
+            SELECT doc_id, constraint_id, observed, rank, n_total
+            FROM r WHERE rank <= {SAMPLE_LIMIT}
         """,
         "events_top_users": """
             WITH totals AS (
