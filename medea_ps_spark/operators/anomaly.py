@@ -248,7 +248,11 @@ def metrics_from_manifest(checkpoint_dir: str) -> Dict[str, float]:
     ``n_rows``, ``n_failed``, ``fail_rate``, ``n_partitions``, plus
     ``table_violations.<name>`` per table constraint (metrics-only
     entries record the per-constraint map) and their
-    ``n_table_violations`` sum when present."""
+    ``n_table_violations`` sum when present. Sampled-sink entries
+    (runner ``violation_limit``) record an exact ``violation_counts``
+    map over ALL constraints (row-level included); those lift as
+    ``violation_counts.<name>`` plus their ``n_violations`` sum — the
+    richest per-constraint signal for run-over-run drift."""
     from .checkpoint import MANIFEST_NAME, Manifest
 
     with open(os.path.join(checkpoint_dir, MANIFEST_NAME)) as fh:
@@ -273,4 +277,17 @@ def metrics_from_manifest(checkpoint_dir: str) -> Dict[str, float]:
         out["n_table_violations"] = sum(per_constraint.values())
         for name, n in per_constraint.items():
             out[f"table_violations.{name}"] = n
+    per_any: Dict[str, float] = {}
+    have_vc = False
+    for e in done:
+        vc = e.metrics.get("violation_counts")
+        if vc is None:
+            continue
+        have_vc = True
+        for name, n in vc.items():
+            per_any[name] = per_any.get(name, 0.0) + float(n)
+    if have_vc:
+        out["n_violations"] = sum(per_any.values())
+        for name, n in per_any.items():
+            out[f"violation_counts.{name}"] = n
     return out

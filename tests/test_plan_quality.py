@@ -453,3 +453,25 @@ def test_cms_build_is_bounded_partial_agg_and_probe_is_broadcast(spark):
     eplan = plan_of(est)
     assert "BroadcastHashJoin" in eplan or "BroadcastExchange" in eplan, eplan
     assert "SortMergeJoin" not in eplan, eplan
+
+
+def test_violation_sample_two_exchanges_one_scan(spark):
+    """sample_violation_rows adds exactly TWO hash exchanges to a
+    row-level violation stream — (constraint_id, input-partition) for
+    the local rank/count phase, then (constraint_id) for the global
+    re-rank — and derives counts from the same shuffle, so the data is
+    scanned exactly once."""
+    from medea_ps_spark.operators import validator as V
+
+    spark.catalog.clearCache()
+    df, compiled = em._validated(spark, SF)
+    viol = V.violation_rows(V.validate(df, compiled))
+    plan = plan_of(V.sample_violation_rows(viol, limit=5))
+    segs = [
+        seg[: seg.index(")")]
+        for seg in plan.split("Exchange hashpartitioning(")[1:]
+    ]
+    assert len(segs) == 2, plan
+    assert sum("_vio_pid" in s for s in segs) == 1, plan
+    assert all("constraint_id" in s for s in segs), plan
+    assert plan.count("Scan parquet") == 1, plan

@@ -159,6 +159,19 @@ def test_runner_sampled_sink(spark, table_path, tmp_path):
         assert m["violation_counts"] == true_counts
         assert m["violation_limit"] == LIMIT
         assert "n_table_violations" in m
+    # the anomaly monitor lifts the per-constraint exact counts from
+    # sampled-sink manifests: violation_counts.<name> totals over
+    # partitions equal the full-run ground truth
+    from medea_ps_spark.operators.anomaly import metrics_from_manifest
+
+    lifted = metrics_from_manifest(ck)
+    global_true = {}
+    for p in res:
+        for cid, n in res[p]["violation_counts"].items():
+            global_true[cid] = global_true.get(cid, 0) + n
+    for cid, n in global_true.items():
+        assert lifted[f"violation_counts.{cid}"] == float(n)
+    assert lifted["n_violations"] == float(sum(global_true.values()))
 
 
 def test_metrics_only_and_limit_exclusive(spark, table_path, tmp_path):
