@@ -58,6 +58,17 @@ def stats_bound_verdicts(
             a = F.avg(col.isNull().cast("double"))
         elif b.agg == "count":
             a = F.count(col)
+        elif b.agg == "quantile":
+            # single-pass mergeable percentile sketch (partial per task,
+            # merged at the partition agg) — bounds a p99 at 10^12 rows
+            # without a sort; approximate by contract (±1/accuracy rank)
+            a = F.percentile_approx(
+                col.cast("double"), F.lit(float(b.q)), F.lit(int(b.accuracy))
+            )
+        elif b.agg == "approx_distinct":
+            # HLL++ sketch: kilobytes of state per partition regardless
+            # of cardinality; rsd is the contract error
+            a = F.approx_count_distinct(col, rsd=float(b.rsd))
         else:
             raise ValueError(f"unknown agg {b.agg}")
         aggs.append(a.cast("double").alias(f"_obs_{i}"))

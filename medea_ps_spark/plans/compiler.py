@@ -295,10 +295,18 @@ def _check_table_constraint(c: Constraint, fields: Dict[str, T.DataType]) -> Non
             raise E.SchemaError(
                 f"{c.name}: dependent {c.dependent!r} is also a determinant"
             )
-    if isinstance(c, StatsBound) and c.agg not in (
-        "min", "max", "avg", "null_rate", "count",
-    ):
-        raise E.SchemaError(f"{c.name}: unknown agg {c.agg!r}")
+    if isinstance(c, StatsBound):
+        if c.agg not in (
+            "min", "max", "avg", "null_rate", "count",
+            "quantile", "approx_distinct",
+        ):
+            raise E.SchemaError(f"{c.name}: unknown agg {c.agg!r}")
+        if c.agg == "quantile" and not (
+            c.q is not None and 0.0 < c.q < 1.0
+        ):
+            raise E.SchemaError(
+                f"{c.name}: agg='quantile' needs q in (0,1), got {c.q!r}"
+            )
 
 
 def _null_tolerant(c: Constraint, pred: Column) -> Column:

@@ -215,13 +215,23 @@ class FunctionalDependency(Constraint):
 
 @dataclass(frozen=True)
 class StatsBound(Constraint):
-    """Partition-level bound on an aggregate: agg in
-    {min,max,avg,null_rate,count} of ``column`` must lie in [lo, hi]."""
+    """Partition-level bound on an aggregate: agg in {min, max, avg,
+    null_rate, count, quantile, approx_distinct} of ``column`` must lie
+    in [lo, hi]. ``quantile`` needs ``q`` in (0,1) and evaluates via a
+    single-pass mergeable percentile sketch (percentile_approx at
+    ``accuracy``) — the scale-right way to bound a p99 at 10^12 rows;
+    ``approx_distinct`` is the HLL++ distinct count at relative error
+    ``rsd`` (e.g. bound the distinct-source cardinality per
+    partition). Both are approximate BY CONTRACT: pick lo/hi with the
+    sketch error in mind."""
 
     column: str = ""
     agg: str = "null_rate"
     lo: Optional[Number] = None
     hi: Optional[Number] = None
+    q: Optional[float] = None  # quantile point, only for agg="quantile"
+    accuracy: int = 10000  # percentile_approx accuracy knob
+    rsd: float = 0.01  # approx_count_distinct relative std deviation
 
 
 @dataclass(frozen=True)

@@ -310,3 +310,65 @@ def test_cms_token_array_mode(spark):
     }
     assert est[5] >= 2 and est[7] >= 2 and est[9] >= 1
     assert est[11] >= 0  # absent item still gets a (possibly 0) estimate
+
+
+def test_stats_bound_quantile_and_approx_distinct(spark, seq_df):
+    """The sketch-backed aggs: quantile (percentile_approx) vs a numpy
+    exact quantile within sketch tolerance, approx_distinct (HLL++) vs
+    the exact distinct count within rsd tolerance — both bound-checked
+    through the same verdict path as the exact aggs."""
+    import numpy as np
+
+    pdf = seq_df.select("source", "n_tok", "doc_id").toPandas()
+    v = ST.stats_bound_verdicts(
+        seq_df,
+        [
+            StatsBound("p95_ntok", "n_tok", agg="quantile", q=0.95, hi=1e12),
+            StatsBound(
+                "docs_card", "doc_id", agg="approx_distinct", lo=1, rsd=0.02
+            ),
+            StatsBound(
+                "p50_must_fail", "n_tok", agg="quantile", q=0.5, hi=-1
+            ),
+        ],
+        "source",
+    ).collect()
+    by = {(r["source"], r["constraint_id"]): r for r in v}
+    for src, g in pdf.groupby("source"):
+        obs = by[(src, "p95_ntok")]["observed"]
+        vals = g["n_tok"].to_numpy().astype(float)
+        # percentile_approx returns an actual ELEMENT near the target
+        # rank — assert its empirical rank lands in a generous band
+        # around 0.95 (small groups quantize the rank coarsely)
+        assert obs in set(vals), (src, obs)
+        assert np.mean(vals <= obs) >= 0.90, (src, obs)
+        assert np.mean(vals < obs) <= 0.99, (src, obs)
+        assert by[(src, "p95_ntok")]["passed"]
+        nd = by[(src, "docs_card")]["observed"]
+        exact_d = g["doc_id"].dropna().nunique()
+        assert abs(nd - exact_d) / max(exact_d, 1) < 0.1, (src, nd, exact_d)
+        assert by[(src, "docs_card")]["passed"]
+        assert not by[(src, "p50_must_fail")]["passed"]
+
+
+def test_stats_bound_quantile_needs_q():
+    from medea_ps_spark.errors import SchemaError
+    from medea_ps_spark.plans.compiler import Registry
+    from medea_ps_spark.plans.constraints import ConstraintSet
+    import pyspark.sql.types as T
+
+    schema = T.StructType([T.StructField("n_tok", T.IntegerType())])
+    for bad_q in (None, 0.0, 1.0, 1.5):
+        reg = Registry().register(
+            ConstraintSet(
+                "$start",
+                [StatsBound("b", "n_tok", agg="quantile", q=bad_q, hi=1)],
+            )
+        )
+        with pytest.raises(SchemaError):
+            reg.compile(schema)
+    # serde round-trips the sketch fields
+    from medea_ps_spark.plans import serde
+
+    c = StatsBound("b", "n_tok", agg="quantile", q=0.99, accuracy=500, hi=9)
+    assert serde.constraint_from_dict(serde.constraint_to_dict(c)) == c
