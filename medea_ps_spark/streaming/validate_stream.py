@@ -48,6 +48,93 @@ def windowed_violation_counts(
     )
 
 
+def windowed_violation_exemplars(
+    stream_df: DataFrame,
+    compiled: CompiledSet,
+    k: int = 8,
+    id_column: str = "doc_id",
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+) -> DataFrame:
+    """Streaming twin of the batch bounded violation sink
+    (operators/validator.sample_violation_rows): per event-time window
+    and constraint, the EXACT violation count plus at most ``k``
+    deterministic exemplar rows — with state bounded by construction.
+
+    Streaming can't rank (no window functions) and ``collect_list``
+    state grows with the data — the unbounded-sink problem all over
+    again. Instead the exemplars come from ``k`` parallel MIN lanes:
+    each violation is assigned a lane by its content hash, and lane i
+    keeps ``min(struct(md5_key, id, observed))`` — one fixed-size
+    struct of aggregation state per (window, constraint, lane)
+    regardless of row count. Deterministic (content-based key and lane,
+    same sentinels as the batch sampler) and exact on counts; the
+    exemplar SELECTION differs from the batch top-k (per-lane minima
+    rather than global k smallest keys), which is fine — both are
+    arbitrary-but-deterministic samples.
+
+    Output: (window, constraint_id, n_violations,
+    exemplars: array<struct<doc_id,observed>>) ordered by key within
+    the array."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    v = validate(stream_df, compiled).withWatermark(ts_col, watermark)
+    ex = v.select(
+        F.window(F.col(ts_col), window).alias("window"),
+        F.col(id_column),
+        F.explode(F.col(VIOLATIONS_COL)).alias("v"),
+    ).select(
+        "window",
+        F.col("v.constraint_id").alias("constraint_id"),
+        F.col(id_column),
+        F.col("v.observed").alias("observed"),
+    )
+    key = F.md5(
+        F.concat(
+            F.coalesce(F.col(id_column).cast("string"), F.lit("\x00")),
+            F.lit("\x1f"),
+            F.col("constraint_id"),
+            F.lit("\x1f"),
+            F.coalesce(F.col("observed"), F.lit("\x00")),
+        )
+    )
+    lane = F.pmod(
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("bigint"), F.lit(k)
+    )
+    tagged = ex.withColumn("_vkey", key).withColumn("_lane", lane)
+    lane_aggs = [
+        F.min(
+            F.when(
+                F.col("_lane") == i,
+                F.struct(
+                    F.col("_vkey").alias("k"),
+                    F.col(id_column).alias("doc_id"),
+                    F.col("observed").alias("observed"),
+                ),
+            )
+        ).alias(f"_e{i}")
+        for i in range(k)
+    ]
+    agged = tagged.groupBy("window", "constraint_id").agg(
+        F.count(F.lit(1)).alias("n_violations"), *lane_aggs
+    )
+    lanes = F.sort_array(
+        F.array_compact(F.array(*[F.col(f"_e{i}") for i in range(k)]))
+    )
+    return agged.select(
+        "window",
+        "constraint_id",
+        "n_violations",
+        F.transform(
+            lanes,
+            lambda e: F.struct(
+                e["doc_id"].alias("doc_id"), e["observed"].alias("observed")
+            ),
+        ).alias("exemplars"),
+    )
+
+
 def windowed_chi2_drift(
     stream_df: DataFrame,
     profile,

@@ -467,3 +467,91 @@ def test_windowed_chi2_drift_survives_restart(spark, tmp_path):
     # halves (8000 rows -> the pre-restart half survived in state); W2
     # drifted
     assert rows == {-200: (8_000, False), 100: (4_000, True)}, rows
+
+
+def test_windowed_violation_exemplars_streaming(spark, stream_input, tmp_path):
+    """Bounded exemplar sink on a stream: exact per-(window,constraint)
+    counts, <= k exemplars from deterministic min-lanes, and the
+    STREAMING result must equal the same plan run in batch mode plus a
+    pure-Python lane reference."""
+    import hashlib
+
+    from medea_ps_spark.streaming.validate_stream import (
+        windowed_violation_exemplars,
+    )
+
+    K = 4
+    path, schema = stream_input
+    compiled = _compiled(schema)
+    stream = spark.readStream.schema(schema).parquet(path)
+    agg = windowed_violation_exemplars(
+        stream, compiled, k=K, ts_col="ts", window="5 minutes"
+    )
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("viol_ex")
+        .option("checkpointLocation", str(tmp_path / "ckpt_ex"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window"]["start"], r["constraint_id"]): r
+        for r in spark.sql("select * from viol_ex").collect()
+    }
+    assert got and all(len(r["exemplars"]) <= K for r in got.values())
+
+    # batch twin on the same data: identical result set
+    batch = spark.read.parquet(path)
+    bt = {
+        (r["window"]["start"], r["constraint_id"]): r
+        for r in windowed_violation_exemplars(
+            batch, compiled, k=K, ts_col="ts", window="5 minutes"
+        ).collect()
+    }
+    assert set(got) == set(bt)
+    for kk in got:
+        assert got[kk]["n_violations"] == bt[kk]["n_violations"]
+        assert [tuple(e) for e in got[kk]["exemplars"]] == [
+            tuple(e) for e in bt[kk]["exemplars"]
+        ]
+
+    # pure-Python lane reference over the exploded violations
+    from medea_ps_spark.operators.validator import validate, VIOLATIONS_COL
+
+    rows = (
+        validate(batch, compiled)
+        .select(
+            F.window(F.col("ts"), "5 minutes").alias("w"),
+            "doc_id",
+            F.explode(F.col(VIOLATIONS_COL)).alias("v"),
+        )
+        .select("w", "doc_id", "v.constraint_id", "v.observed")
+        .collect()
+    )
+    ref = {}
+    for r in rows:
+        key = hashlib.md5(
+            "\x1f".join(
+                [
+                    r["doc_id"] if r["doc_id"] is not None else "\x00",
+                    r["constraint_id"],
+                    r["observed"] if r["observed"] is not None else "\x00",
+                ]
+            ).encode()
+        ).hexdigest()
+        lane = int(key[:8], 16) % K
+        g = ref.setdefault((r["w"]["start"], r["constraint_id"]), [0, {}])
+        g[0] += 1
+        cur = g[1].get(lane)
+        cand = (key, r["doc_id"], r["observed"])
+        if cur is None or cand < cur:
+            g[1][lane] = cand
+    assert set(ref) == set(got)
+    for kk, (n, lanes) in ref.items():
+        assert got[kk]["n_violations"] == n
+        want = [
+            (d, o) for _k, d, o in sorted(lanes.values())
+        ]
+        assert [tuple(e) for e in got[kk]["exemplars"]] == want
