@@ -374,15 +374,33 @@ def sampled_violations(
 
 
 def partition_verdicts(
-    validated: DataFrame, partition_col: str = "source"
+    validated: DataFrame,
+    partition_col: str = "source",
+    max_fail_rate: float = 0.0,
 ) -> DataFrame:
     """Per-partition pass/fail rollup — single partial+final hash agg.
     ≙ the reference's one-document verdict, lifted to Iceberg-partition
-    granularity (SURVEY.md §1.4 last row)."""
+    granularity (SURVEY.md §1.4 last row).
+
+    ``max_fail_rate`` (default 0.0 = the strict reference semantics)
+    makes the PARTITION verdict tolerant: the partition passes when
+    n_failed/n_rows <= max_fail_rate — the operational contract for
+    10^12-row tables where a handful of bad rows should quarantine the
+    rows (violation sink), not fail the whole partition. Row-level
+    verdicts are unaffected."""
+    if not (0.0 <= max_fail_rate < 1.0):
+        raise ValueError(
+            f"max_fail_rate must be in [0, 1), got {max_fail_rate}"
+        )
+    n_failed = F.sum((~F.col(PASSED_COL)).cast("bigint"))
+    n_rows = F.count(F.lit(1))
     return validated.groupBy(partition_col).agg(
-        F.count(F.lit(1)).alias("n_rows"),
+        n_rows.alias("n_rows"),
         F.sum(F.col(PASSED_COL).cast("bigint")).alias("n_passed"),
-        F.sum((~F.col(PASSED_COL)).cast("bigint")).alias("n_failed"),
+        n_failed.alias("n_failed"),
         F.sum(F.size(F.col(VIOLATIONS_COL)).cast("bigint")).alias("n_violations"),
-        (F.sum((~F.col(PASSED_COL)).cast("bigint")) == 0).alias("partition_passed"),
+        (
+            n_failed.cast("double")
+            <= F.lit(float(max_fail_rate)) * n_rows.cast("double")
+        ).alias("partition_passed"),
     )

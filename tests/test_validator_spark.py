@@ -178,3 +178,34 @@ def test_violation_count_fast_paths_match_row_paths(spark):
     assert V.referential_violation_count(df, r) == V.referential_violations(
         df, r, "doc_id"
     ).count() == 3
+
+
+def test_partition_verdicts_tolerance(seq_df, compiled):
+    """max_fail_rate makes the PARTITION verdict tolerant: strict 0.0
+    fails any partition with a bad row (reference semantics); a rate
+    above every partition's observed fail share passes all; the verdict
+    flips exactly at n_failed/n_rows."""
+    import pytest as _pytest
+
+    validated = V.validate(seq_df, compiled)
+    strict = {r["source"]: r for r in V.partition_verdicts(validated, "source").collect()}
+    for r in strict.values():
+        assert r["partition_passed"] == (r["n_failed"] == 0)
+    lax = {
+        r["source"]: r
+        for r in V.partition_verdicts(validated, "source", max_fail_rate=0.999).collect()
+    }
+    assert all(r["partition_passed"] for r in lax.values())
+    # per-partition boundary: rate exactly n_failed/n_rows passes (<=)
+    for src, r in strict.items():
+        if r["n_failed"] == 0:
+            continue
+        rate = r["n_failed"] / r["n_rows"]
+        at = {
+            x["source"]: x
+            for x in V.partition_verdicts(validated, "source", max_fail_rate=rate).collect()
+        }
+        assert at[src]["partition_passed"]
+        break
+    with _pytest.raises(ValueError):
+        V.partition_verdicts(validated, "source", max_fail_rate=1.0)
