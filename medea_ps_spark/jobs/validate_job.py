@@ -43,6 +43,41 @@ def build_registry(vocab: int, max_len: int, allowed_sources):
     return reg
 
 
+def parse_profile_specs(items):
+    """``--profile`` values → drift.build_profile spec dict.
+    ``name=column:lo:hi[:nbuckets]`` (numeric) or
+    ``name=@tokens_col:vocab[:nbuckets]`` (token-value histogram)."""
+    specs = {}
+    for it in items or []:
+        name, sep, rest = it.partition("=")
+        if not sep or not name or not rest:
+            raise ValueError(f"--profile needs name=spec, got {it!r}")
+        if rest.startswith("@"):
+            parts = rest[1:].split(":")
+            if len(parts) not in (2, 3):
+                raise ValueError(
+                    f"--profile token spec is @col:vocab[:nbuckets], got {it!r}"
+                )
+            spec = {"token_array": parts[0], "lo": 0, "hi": int(parts[1])}
+            if len(parts) == 3:
+                spec["nbuckets"] = int(parts[2])
+        else:
+            parts = rest.split(":")
+            if len(parts) not in (3, 4):
+                raise ValueError(
+                    f"--profile numeric spec is col:lo:hi[:nbuckets], got {it!r}"
+                )
+            spec = {
+                "column": parts[0],
+                "lo": float(parts[1]),
+                "hi": float(parts[2]),
+            }
+            if len(parts) == 4:
+                spec["nbuckets"] = int(parts[3])
+        specs[name] = spec
+    return specs or None
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", required=True)
@@ -70,6 +105,23 @@ def main() -> None:
              "written, upgrade completed partitions in place by "
              "re-running only the added/changed constraints "
              "(plans/evolution.py) instead of reprocessing everything",
+    )
+    ap.add_argument(
+        "--profile", action="append", default=None, metavar="SPEC",
+        help="persist each completed partition's distribution profile "
+             "next to the manifest (operators/profilestore.py) for "
+             "rescan-free global quantiles/drift. Repeatable. SPEC is "
+             "name=column:lo:hi[:nbuckets] for a numeric histogram + "
+             "t-digest, or name=@tokens_col:vocab[:nbuckets] for a "
+             "token-value histogram. Not applied on --evolve upgrades "
+             "(completed partitions keep their stored profiles)",
+    )
+    ap.add_argument(
+        "--uniqueness-sketch", default=None, metavar="COLUMN",
+        help="persist a per-partition HLL sketch of COLUMN next to the "
+             "manifest (operators/hll.py) — global distinct/duplicate "
+             "checks after resume/append are then answered from the "
+             "sketch store with no rescan of completed partitions",
     )
     ap.add_argument(
         "--history", default=None,
@@ -123,6 +175,8 @@ def main() -> None:
             partition_col=args.partition_col,
             metrics_only=args.metrics_only,
             violation_limit=args.violation_limit,
+            uniqueness_sketch_col=args.uniqueness_sketch,
+            profile_specs=parse_profile_specs(args.profile),
         )
         result = {"partitions": metrics}
     if args.history:

@@ -248,3 +248,20 @@ def test_evolve_sampled_equals_scratch(spark, table_path, tmp_path):
         spark, table_path, REG_V2(), ck_evo, violation_limit=LIMIT
     )
     assert again["upgraded"] == {} and again["reprocessed"] == {}
+
+
+def test_parse_profile_specs():
+    """--profile CLI grammar → drift.build_profile spec dicts."""
+    from medea_ps_spark.jobs.validate_job import parse_profile_specs
+
+    assert parse_profile_specs(None) is None
+    assert parse_profile_specs(
+        ["ntok=n_tok:0:8192:32", "tok=@tokens:50257", "nc=n_chars:0:800"]
+    ) == {
+        "ntok": {"column": "n_tok", "lo": 0.0, "hi": 8192.0, "nbuckets": 32},
+        "tok": {"token_array": "tokens", "lo": 0, "hi": 50257},
+        "nc": {"column": "n_chars", "lo": 0.0, "hi": 800.0},
+    }
+    for bad in ("noeq", "x=", "x=@t", "x=c:1", "x=c:1:2:3:4", "=c:1:2"):
+        with pytest.raises(ValueError):
+            parse_profile_specs([bad])
