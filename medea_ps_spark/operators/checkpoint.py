@@ -167,7 +167,9 @@ class CheckpointedRun:
             if d.startswith(prefix) and os.path.isdir(os.path.join(root, d))
         )
 
-    def pending_partitions(self, sink: str = "rows") -> List[str]:
+    def pending_partitions(
+        self, sink: str = "rows", min_violation_limit: Optional[int] = None
+    ) -> List[str]:
         """Partitions needing (re)processing for the requested ``sink``
         mode. An entry satisfies the request iff it is done at the same
         snapshot+fingerprint AND its recorded sink covers the request
@@ -175,7 +177,14 @@ class CheckpointedRun:
         "sampled" covers sampled and metrics requests; "metrics" covers
         only metrics — so a row-mode rerun reprocesses metrics-only and
         sampled partitions and actually materializes their full
-        violation rows."""
+        violation rows.
+
+        ``min_violation_limit`` refines sampled-vs-sampled coverage: a
+        sampled request at limit N is satisfied by a sampled entry only
+        if that entry was written at limit >= N (its exemplar set is a
+        superset — "at most N" semantics); a SMALLER recorded limit
+        means the requested exemplars were never materialized, so the
+        partition reprocesses. Row entries cover any limit."""
         want = _SINK_RANK.get(sink, _SINK_RANK["rows"])
         out = []
         for p in self.partitions():
@@ -187,6 +196,12 @@ class CheckpointedRun:
                 or e.snapshot_id != snap
                 or e.fingerprint != self.manifest.fingerprint
                 or _SINK_RANK.get(e.sink, -1) < want
+                or (
+                    min_violation_limit is not None
+                    and e.sink == "sampled"
+                    and int(e.metrics.get("violation_limit") or 0)
+                    < min_violation_limit
+                )
             ):
                 out.append(p)
         return out
@@ -195,14 +210,19 @@ class CheckpointedRun:
         self,
         process: Callable[[DataFrame, str], Dict],
         sink: str = "rows",
+        min_violation_limit: Optional[int] = None,
     ) -> Dict[str, Dict]:
         """``process(partition_df, out_dir) -> metrics`` per pending
         partition. Partition pruning: the read targets exactly one
         partition directory, so the scan never touches completed data.
         ``sink`` labels what ``process`` materializes ("rows" |
-        "metrics") and is recorded per entry for mode-aware resume."""
+        "sampled" | "metrics") and is recorded per entry for mode-aware
+        resume; ``min_violation_limit`` is the sampled-request limit
+        (see :meth:`pending_partitions`)."""
         results: Dict[str, Dict] = {}
-        for p in self.pending_partitions(sink=sink):
+        for p in self.pending_partitions(
+            sink=sink, min_violation_limit=min_violation_limit
+        ):
             pdir = f"{self.partition_col}={p}"
             snap = snapshot_id_for(self.table_path, pdir)
             # reading a leaf partition dir drops the partition column —

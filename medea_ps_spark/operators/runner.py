@@ -197,7 +197,7 @@ def run_checkpointed_validation(
         sink = "metrics"
     elif violation_limit is not None:
         sink = "sampled"
-    return ck.run(process, sink=sink)
+    return ck.run(process, sink=sink, min_violation_limit=violation_limit)
 
 
 def _counts_from_sample(spark: SparkSession, sample_dir: str) -> Dict[str, int]:

@@ -204,6 +204,18 @@ def test_sink_lattice(spark, table_path, tmp_path):
     assert run_checkpointed_validation(
         spark, table_path, reg, ck, violation_limit=LIMIT
     ) == {}
+    # smaller limit: the recorded limit's exemplars are a superset and
+    # counts are exact → covered, skipped
+    assert run_checkpointed_validation(
+        spark, table_path, reg, ck, violation_limit=max(1, LIMIT - 4)
+    ) == {}
+    # LARGER limit: the extra exemplars were never materialized →
+    # everything reprocesses at the new limit
+    bigger = run_checkpointed_validation(
+        spark, table_path, reg, ck, violation_limit=LIMIT + 5
+    )
+    assert set(bigger) == set(first)
+    assert all(m["violation_limit"] == LIMIT + 5 for m in bigger.values())
     # rows request: NOT covered → everything reprocesses, rows appear
     full = run_checkpointed_validation(spark, table_path, reg, ck)
     assert set(full) == set(first)
