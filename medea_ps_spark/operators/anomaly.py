@@ -252,7 +252,9 @@ def metrics_from_manifest(checkpoint_dir: str) -> Dict[str, float]:
     (runner ``violation_limit``) record an exact ``violation_counts``
     map over ALL constraints (row-level included); those lift as
     ``violation_counts.<name>`` plus their ``n_violations`` sum — the
-    richest per-constraint signal for run-over-run drift."""
+    richest per-constraint signal for run-over-run drift — but ONLY
+    when every done entry carries the map (a partial sum over a
+    mixed-sink manifest would masquerade as a corpus total)."""
     from .checkpoint import MANIFEST_NAME, Manifest
 
     with open(os.path.join(checkpoint_dir, MANIFEST_NAME)) as fh:
@@ -277,16 +279,17 @@ def metrics_from_manifest(checkpoint_dir: str) -> Dict[str, float]:
         out["n_table_violations"] = sum(per_constraint.values())
         for name, n in per_constraint.items():
             out[f"table_violations.{name}"] = n
-    per_any: Dict[str, float] = {}
-    have_vc = False
-    for e in done:
-        vc = e.metrics.get("violation_counts")
-        if vc is None:
-            continue
-        have_vc = True
-        for name, n in vc.items():
-            per_any[name] = per_any.get(name, 0.0) + float(n)
-    if have_vc:
+    # only publish the global-looking totals when EVERY done entry
+    # carries the map — on a mixed-sink manifest (e.g. one partition
+    # reprocessed sampled beside row-mode entries) a partial sum would
+    # masquerade as a corpus total and fire spurious run-over-run
+    # anomalies whenever the sink mix shifts
+    vcs = [e.metrics.get("violation_counts") for e in done]
+    if done and all(vc is not None for vc in vcs):
+        per_any: Dict[str, float] = {}
+        for vc in vcs:
+            for name, n in vc.items():
+                per_any[name] = per_any.get(name, 0.0) + float(n)
         out["n_violations"] = sum(per_any.values())
         for name, n in per_any.items():
             out[f"violation_counts.{name}"] = n

@@ -150,6 +150,10 @@ def run_checkpointed_validation(
             table_counts = _table_violation_counts(
                 pdf, compiled.table_constraints
             )
+            # this (re)process superseded whatever row/sample parquet an
+            # earlier fingerprint/snapshot left here
+            _rm_dir(os.path.join(out_dir, "violations"))
+            _rm_dir(os.path.join(out_dir, "violations_sample"))
         elif violation_limit is not None:
             samp = V.sampled_violations(
                 pdf, compiled, id_column=id_column, limit=violation_limit
@@ -159,11 +163,16 @@ def run_checkpointed_validation(
             # exact counts come back from the (bounded: <= limit x
             # constraints rows) sample itself — no second data scan
             violation_counts = _counts_from_sample(spark, sdir)
+            # a mode switch must not leave the OTHER sink's stale
+            # parquet (possibly from a superseded rule set) beside the
+            # fresh one — consumers glob out/*/violations*
+            _rm_dir(os.path.join(out_dir, "violations"))
         else:
             viol = V.all_violations(pdf, compiled, id_column=id_column)
             viol.write.mode("overwrite").parquet(
                 os.path.join(out_dir, "violations")
             )
+            _rm_dir(os.path.join(out_dir, "violations_sample"))
         if uniqueness_sketch_col:
             part = os.path.basename(out_dir).split("=", 1)[1]
             H.write_partition_sketch(
@@ -197,7 +206,57 @@ def run_checkpointed_validation(
         sink = "metrics"
     elif violation_limit is not None:
         sink = "sampled"
-    return ck.run(process, sink=sink, min_violation_limit=violation_limit)
+    results = ck.run(process, sink=sink, min_violation_limit=violation_limit)
+    if uniqueness_sketch_col or profile_specs:
+        # the store flags must not be silent no-ops on an
+        # already-completed checkpoint: partitions that resume SKIPPED
+        # (so process() never ran) but are missing the requested
+        # artifact get it backfilled here — one pruned scan per missing
+        # artifact only, never a rescan of partitions that have it
+        _backfill_stores(
+            spark, ck, uniqueness_sketch_col, profile_specs, partition_col
+        )
+    return results
+
+
+def _backfill_stores(
+    spark, ck, uniqueness_sketch_col, profile_specs, partition_col
+) -> None:
+    from . import hll as H
+
+    for p, e in sorted(ck.manifest.entries.items()):
+        if e.status != "done" or e.fingerprint != ck.manifest.fingerprint:
+            continue
+        need_sketch = uniqueness_sketch_col and not os.path.isdir(
+            os.path.join(ck.checkpoint_dir, H.SKETCH_DIR, p)
+        )
+        need_profile = False
+        if profile_specs:
+            from . import profilestore as P
+
+            need_profile = not os.path.isdir(
+                os.path.join(ck.checkpoint_dir, P.PROFILE_DIR, p)
+            )
+        if not (need_sketch or need_profile):
+            continue
+        df = spark.read.parquet(
+            os.path.join(ck.table_path, f"{partition_col}={p}")
+        ).withColumn(partition_col, F.lit(p))
+        if need_sketch:
+            H.write_partition_sketch(
+                df, uniqueness_sketch_col, ck.checkpoint_dir, p
+            )
+        if need_profile:
+            from . import profilestore as P
+
+            P.write_partition_profile(df, profile_specs, ck.checkpoint_dir, p)
+
+
+def _rm_dir(path: str) -> None:
+    import shutil
+
+    if os.path.isdir(path):
+        shutil.rmtree(path)
 
 
 def _counts_from_sample(spark: SparkSession, sample_dir: str) -> Dict[str, int]:
@@ -276,7 +335,9 @@ def evolve_checkpointed_validation(
 
     from ..plans import evolution as EV
     from ..plans.compiler import fingerprint_set
-    from .checkpoint import MANIFEST_NAME, Manifest, _atomic_write, snapshot_id_for
+    from .checkpoint import (
+        MANIFEST_NAME, Manifest, _SINK_RANK, _atomic_write, snapshot_id_for,
+    )
 
     new_fp = fingerprint_set(registry, root)
     new_fps = EV.constraint_fingerprints(registry, root)
@@ -299,12 +360,31 @@ def evolve_checkpointed_validation(
                 if delta.rerun
                 else None
             )
+            # an in-place upgrade is only worth doing for entries whose
+            # sink COVERS this call's requested mode — anything below it
+            # (e.g. sampled entries under a rows-mode evolve, or a
+            # larger requested violation_limit) gets fully reprocessed
+            # by the pass below anyway, so upgrading first would be
+            # discarded work
+            if metrics_only:
+                want = _SINK_RANK["metrics"]
+            elif violation_limit is not None:
+                want = _SINK_RANK["sampled"]
+            else:
+                want = _SINK_RANK["rows"]
             for p, e in sorted(man.entries.items()):
                 pdir = f"{partition_col}={p}"
                 if (
                     e.status != "done"
                     or e.fingerprint != man.fingerprint
                     or e.snapshot_id != snapshot_id_for(table_path, pdir)
+                    or _SINK_RANK.get(e.sink, -1) < want
+                    or (
+                        violation_limit is not None
+                        and e.sink == "sampled"
+                        and int(e.metrics.get("violation_limit") or 0)
+                        < violation_limit
+                    )
                 ):
                     continue  # full reprocess below
                 if _upgrade_partition(

@@ -61,13 +61,28 @@ def stats_bound_verdicts(
         elif b.agg == "quantile":
             # single-pass mergeable percentile sketch (partial per task,
             # merged at the partition agg) — bounds a p99 at 10^12 rows
-            # without a sort; approximate by contract (±1/accuracy rank)
+            # without a sort; approximate by contract (±1/accuracy rank).
+            # Validate here too: direct operator calls (no Registry
+            # compile) must fail with the constraint named, not a
+            # TypeError / opaque Spark error.
+            if b.q is None or not (0.0 < float(b.q) < 1.0):
+                raise ValueError(
+                    f"{b.name}: agg='quantile' needs q in (0,1), got {b.q!r}"
+                )
+            if int(b.accuracy) <= 0:
+                raise ValueError(
+                    f"{b.name}: accuracy must be positive, got {b.accuracy!r}"
+                )
             a = F.percentile_approx(
                 col.cast("double"), F.lit(float(b.q)), F.lit(int(b.accuracy))
             )
         elif b.agg == "approx_distinct":
             # HLL++ sketch: kilobytes of state per partition regardless
             # of cardinality; rsd is the contract error
+            if not (0.0 < float(b.rsd) < 1.0):
+                raise ValueError(
+                    f"{b.name}: rsd must be in (0,1), got {b.rsd!r}"
+                )
             a = F.approx_count_distinct(col, rsd=float(b.rsd))
         else:
             raise ValueError(f"unknown agg {b.agg}")

@@ -394,13 +394,16 @@ def partition_verdicts(
         )
     n_failed = F.sum((~F.col(PASSED_COL)).cast("bigint"))
     n_rows = F.count(F.lit(1))
+    # compare the RATE itself (n_failed/n_rows <= threshold), not
+    # n_failed <= threshold*n_rows: the latter breaks the documented
+    # contract at the boundary ((f/n)*n can round below f in doubles)
     return validated.groupBy(partition_col).agg(
         n_rows.alias("n_rows"),
         F.sum(F.col(PASSED_COL).cast("bigint")).alias("n_passed"),
         n_failed.alias("n_failed"),
         F.sum(F.size(F.col(VIOLATIONS_COL)).cast("bigint")).alias("n_violations"),
         (
-            n_failed.cast("double")
-            <= F.lit(float(max_fail_rate)) * n_rows.cast("double")
+            n_failed.cast("double") / n_rows.cast("double")
+            <= F.lit(float(max_fail_rate))
         ).alias("partition_passed"),
     )

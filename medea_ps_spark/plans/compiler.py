@@ -307,6 +307,14 @@ def _check_table_constraint(c: Constraint, fields: Dict[str, T.DataType]) -> Non
             raise E.SchemaError(
                 f"{c.name}: agg='quantile' needs q in (0,1), got {c.q!r}"
             )
+        if c.agg == "quantile" and int(c.accuracy) <= 0:
+            raise E.SchemaError(
+                f"{c.name}: accuracy must be positive, got {c.accuracy!r}"
+            )
+        if c.agg == "approx_distinct" and not (0.0 < float(c.rsd) < 1.0):
+            raise E.SchemaError(
+                f"{c.name}: rsd must be in (0,1), got {c.rsd!r}"
+            )
 
 
 def _null_tolerant(c: Constraint, pred: Column) -> Column:

@@ -372,3 +372,17 @@ def test_stats_bound_quantile_needs_q():
 
     c = StatsBound("b", "n_tok", agg="quantile", q=0.99, accuracy=500, hi=9)
     assert serde.constraint_from_dict(serde.constraint_to_dict(c)) == c
+
+
+def test_stats_bound_sketch_aggs_validate_on_direct_call(spark, seq_df):
+    """Operator-level validation (no Registry.compile in the path):
+    missing q / bad accuracy / bad rsd raise ValueError naming the
+    constraint instead of TypeError or an opaque Spark error."""
+    for bad in (
+        StatsBound("b", "n_tok", agg="quantile", hi=1),
+        StatsBound("b", "n_tok", agg="quantile", q=1.5, hi=1),
+        StatsBound("b", "n_tok", agg="quantile", q=0.5, accuracy=0, hi=1),
+        StatsBound("b", "doc_id", agg="approx_distinct", rsd=0.0, lo=1),
+    ):
+        with pytest.raises(ValueError, match="b:"):
+            ST.stats_bound_verdicts(seq_df, [bad], "source")

@@ -216,11 +216,15 @@ def test_sink_lattice(spark, table_path, tmp_path):
     )
     assert set(bigger) == set(first)
     assert all(m["violation_limit"] == LIMIT + 5 for m in bigger.values())
-    # rows request: NOT covered → everything reprocesses, rows appear
+    # rows request: NOT covered → everything reprocesses, rows appear —
+    # and the superseded sample parquet is removed (no stale siblings)
     full = run_checkpointed_validation(spark, table_path, reg, ck)
     assert set(full) == set(first)
     for p in full:
         assert os.path.isdir(os.path.join(ck, "out", f"source={p}", "violations"))
+        assert not os.path.exists(
+            os.path.join(ck, "out", f"source={p}", "violations_sample")
+        )
     # and sampled request is now covered by rows entries
     assert run_checkpointed_validation(
         spark, table_path, reg, ck, violation_limit=LIMIT
@@ -277,3 +281,101 @@ def test_parse_profile_specs():
     for bad in ("noeq", "x=", "x=@t", "x=c:1", "x=c:1:2:3:4", "=c:1:2"):
         with pytest.raises(ValueError):
             parse_profile_specs([bad])
+
+
+def test_evolve_skips_upgrades_the_reprocess_would_discard(
+    spark, table_path, tmp_path
+):
+    """An evolve call whose requested sink is NOT covered by the
+    completed entries must not burn work upgrading them in place — the
+    final reprocess pass redoes those partitions under the new set, so
+    they belong in 'reprocessed' only (never both)."""
+    from tests.test_evolution import REG_V1, REG_V2
+
+    # sampled checkpoint, then evolve in ROWS mode (default)
+    ck = str(tmp_path / "ck_rows_evo")
+    r1 = run_checkpointed_validation(
+        spark, table_path, REG_V1(), ck, violation_limit=LIMIT
+    )
+    out = evolve_checkpointed_validation(spark, table_path, REG_V2(), ck)
+    assert out["upgraded"] == {}
+    assert sorted(out["reprocessed"]) == sorted(r1)
+    for p in out["reprocessed"]:
+        assert os.path.isdir(os.path.join(ck, "out", f"source={p}", "violations"))
+        assert not os.path.exists(
+            os.path.join(ck, "out", f"source={p}", "violations_sample")
+        )
+    # sampled checkpoint, evolve at a LARGER limit: same story
+    ck2 = str(tmp_path / "ck_lim_evo")
+    r2 = run_checkpointed_validation(
+        spark, table_path, REG_V1(), ck2, violation_limit=LIMIT
+    )
+    out2 = evolve_checkpointed_validation(
+        spark, table_path, REG_V2(), ck2, violation_limit=LIMIT + 5
+    )
+    assert out2["upgraded"] == {}
+    assert sorted(out2["reprocessed"]) == sorted(r2)
+    assert all(
+        m["violation_limit"] == LIMIT + 5 for m in out2["reprocessed"].values()
+    )
+
+
+def test_store_flags_backfill_completed_checkpoint(spark, table_path, tmp_path):
+    """--uniqueness-sketch/--profile on an ALREADY-completed checkpoint
+    must not be silent no-ops: missing artifacts are backfilled for
+    done partitions even though process() never runs."""
+    from medea_ps_spark.operators import hll as H
+    from medea_ps_spark.operators import profilestore as P
+
+    ck = str(tmp_path / "ck")
+    reg = _registry()
+    first = run_checkpointed_validation(spark, table_path, reg, ck)
+    assert first
+    again = run_checkpointed_validation(
+        spark, table_path, reg, ck,
+        uniqueness_sketch_col="doc_id",
+        profile_specs={"ntok": {"column": "n_tok", "lo": 0, "hi": 8192}},
+    )
+    assert again == {}  # nothing reprocessed...
+    for p in first:  # ...yet every artifact exists
+        assert os.path.isdir(os.path.join(ck, H.SKETCH_DIR, p))
+        assert os.path.isdir(os.path.join(ck, P.PROFILE_DIR, p))
+    u = H.store_uniqueness(spark, ck)
+    assert u["n_partitions"] == len(first)
+    assert u["n_rows"] == sum(m["n_rows"] for m in first.values())
+
+
+def test_anomaly_lift_suppressed_on_mixed_sink_manifest(tmp_path):
+    """violation_counts totals must not be published from a manifest
+    where only SOME entries carry the map (partial sum ≠ corpus
+    total)."""
+    import time
+
+    from medea_ps_spark.operators.anomaly import metrics_from_manifest
+    from medea_ps_spark.operators.checkpoint import (
+        Manifest, PartitionEntry, _atomic_write,
+    )
+
+    man = Manifest("run", "t", "source", "fp")
+    man.entries["a"] = PartitionEntry(
+        "a", "s1", "fp", status="done", sink="sampled",
+        metrics={"n_rows": 10, "n_failed": 2, "violation_limit": 5,
+                 "violation_counts": {"c1": 2}},
+        finished_at=time.time(),
+    )
+    man.entries["b"] = PartitionEntry(
+        "b", "s2", "fp", status="done", sink="rows",
+        metrics={"n_rows": 10, "n_failed": 1}, finished_at=time.time(),
+    )
+    _atomic_write(str(tmp_path / "manifest.json"), man.to_json())
+    m = metrics_from_manifest(str(tmp_path))
+    assert "n_violations" not in m
+    assert not any(k.startswith("violation_counts.") for k in m)
+    # all-sampled manifest DOES publish
+    man.entries["b"].sink = "sampled"
+    man.entries["b"].metrics["violation_counts"] = {"c1": 3, "c2": 1}
+    man.entries["b"].metrics["violation_limit"] = 5
+    _atomic_write(str(tmp_path / "manifest.json"), man.to_json())
+    m2 = metrics_from_manifest(str(tmp_path))
+    assert m2["n_violations"] == 6.0
+    assert m2["violation_counts.c1"] == 5.0 and m2["violation_counts.c2"] == 1.0
