@@ -107,6 +107,14 @@ def main() -> None:
              "(plans/evolution.py) instead of reprocessing everything",
     )
     ap.add_argument(
+        "--clean-output", default=None, metavar="DIR",
+        help="also write each partition's PASSING rows (verdicts "
+             "stripped) to DIR/<partition>/ — the quarantine flow: "
+             "violations to the sink, survivors become the validated "
+             "training table; immutable per completed partition, "
+             "backfilled on resume if missing",
+    )
+    ap.add_argument(
         "--profile", action="append", default=None, metavar="SPEC",
         help="persist each completed partition's distribution profile "
              "next to the manifest (operators/profilestore.py) for "
@@ -177,6 +185,7 @@ def main() -> None:
             violation_limit=args.violation_limit,
             uniqueness_sketch_col=args.uniqueness_sketch,
             profile_specs=parse_profile_specs(args.profile),
+            clean_output=args.clean_output,
         )
         result = {"partitions": metrics}
     if args.history:

@@ -77,6 +77,7 @@ def run_checkpointed_validation(
     violation_limit: Optional[int] = None,
     uniqueness_sketch_col: Optional[str] = None,
     profile_specs: Optional[Dict[str, Dict]] = None,
+    clean_output: Optional[str] = None,
 ) -> Dict[str, Dict]:
     """Partition-at-a-time validation with resume: violations are
     written per partition (immutable once done), metrics land in the
@@ -107,6 +108,14 @@ def run_checkpointed_validation(
     "rows" > "sampled" > "metrics" (checkpoint._SINK_RANK) — a sampled
     rerun skips row-mode partitions, a row-mode rerun reprocesses
     sampled ones.
+
+    ``clean_output`` writes each partition's PASSING rows (verdict
+    columns stripped) to ``<clean_output>/<partition_col>=<p>/`` — the
+    quarantine flow: violations go to the sink, survivors become the
+    validated training table, both partition-at-a-time and immutable
+    once the partition completes. Works under every sink mode (the row
+    predicate is the same); like the stores, missing clean partitions
+    are BACKFILLED on a resume that adds the flag.
 
     ``uniqueness_sketch_col`` names a key column (e.g. ``doc_id``) whose
     per-partition HLL sketch is persisted next to the manifest when the
@@ -173,6 +182,11 @@ def run_checkpointed_validation(
                 os.path.join(out_dir, "violations")
             )
             _rm_dir(os.path.join(out_dir, "violations_sample"))
+        if clean_output:
+            pdir = os.path.basename(out_dir)
+            V.strip_verdicts(validated.where(F.col(V.PASSED_COL))).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(clean_output, pdir))
         if uniqueness_sketch_col:
             part = os.path.basename(out_dir).split("=", 1)[1]
             H.write_partition_sketch(
@@ -207,26 +221,29 @@ def run_checkpointed_validation(
     elif violation_limit is not None:
         sink = "sampled"
     results = ck.run(process, sink=sink, min_violation_limit=violation_limit)
-    if uniqueness_sketch_col or profile_specs:
-        # the store flags must not be silent no-ops on an
+    if uniqueness_sketch_col or profile_specs or clean_output:
+        # the store/clean flags must not be silent no-ops on an
         # already-completed checkpoint: partitions that resume SKIPPED
         # (so process() never ran) but are missing the requested
         # artifact get it backfilled here — one pruned scan per missing
         # artifact only, never a rescan of partitions that have it
-        _backfill_stores(
-            spark, ck, uniqueness_sketch_col, profile_specs, partition_col
+        _backfill_artifacts(
+            spark, ck, uniqueness_sketch_col, profile_specs, clean_output,
+            registry, root, partition_col,
         )
     return results
 
 
-def _backfill_stores(
-    spark, ck, uniqueness_sketch_col, profile_specs, partition_col
+def _backfill_artifacts(
+    spark, ck, uniqueness_sketch_col, profile_specs, clean_output,
+    registry, root, partition_col,
 ) -> None:
     from . import hll as H
 
     for p, e in sorted(ck.manifest.entries.items()):
         if e.status != "done" or e.fingerprint != ck.manifest.fingerprint:
             continue
+        pdir = f"{partition_col}={p}"
         need_sketch = uniqueness_sketch_col and not os.path.isdir(
             os.path.join(ck.checkpoint_dir, H.SKETCH_DIR, p)
         )
@@ -237,10 +254,13 @@ def _backfill_stores(
             need_profile = not os.path.isdir(
                 os.path.join(ck.checkpoint_dir, P.PROFILE_DIR, p)
             )
-        if not (need_sketch or need_profile):
+        need_clean = clean_output and not os.path.isdir(
+            os.path.join(clean_output, pdir)
+        )
+        if not (need_sketch or need_profile or need_clean):
             continue
         df = spark.read.parquet(
-            os.path.join(ck.table_path, f"{partition_col}={p}")
+            os.path.join(ck.table_path, pdir)
         ).withColumn(partition_col, F.lit(p))
         if need_sketch:
             H.write_partition_sketch(
@@ -250,6 +270,12 @@ def _backfill_stores(
             from . import profilestore as P
 
             P.write_partition_profile(df, profile_specs, ck.checkpoint_dir, p)
+        if need_clean:
+            compiled = registry.compile(df.schema, root=root)
+            validated = V.validate(df, compiled)
+            V.strip_verdicts(validated.where(F.col(V.PASSED_COL))).write.mode(
+                "overwrite"
+            ).parquet(os.path.join(clean_output, pdir))
 
 
 def _rm_dir(path: str) -> None:

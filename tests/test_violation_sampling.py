@@ -379,3 +379,38 @@ def test_anomaly_lift_suppressed_on_mixed_sink_manifest(tmp_path):
     m2 = metrics_from_manifest(str(tmp_path))
     assert m2["n_violations"] == 6.0
     assert m2["violation_counts.c1"] == 5.0 and m2["violation_counts.c2"] == 1.0
+
+
+def test_clean_output_quarantine_flow(spark, table_path, tmp_path):
+    """clean_output writes exactly the passing rows (verdicts stripped),
+    per partition; a resume that ADDS the flag backfills missing clean
+    partitions without reprocessing; reruns leave completed clean
+    partitions untouched."""
+    ck = str(tmp_path / "ck")
+    clean_dir = str(tmp_path / "clean")
+    reg = _registry()
+    res = run_checkpointed_validation(
+        spark, table_path, reg, ck, violation_limit=LIMIT,
+        clean_output=clean_dir,
+    )
+    assert res
+    df = spark.read.parquet(table_path)
+    compiled = reg.compile(df.schema, root="$start")
+    want = V.validate(df, compiled).where(F.col(V.PASSED_COL))
+    got = spark.read.parquet(clean_dir)
+    assert got.count() == want.count() == sum(
+        m["n_rows"] - m["n_failed"] for m in res.values()
+    )
+    assert set(got.columns) == set(df.columns)  # verdicts stripped
+    a = {r["doc_id"] for r in got.select("doc_id").collect()}
+    b = {r["doc_id"] for r in want.select("doc_id").collect()}
+    assert a == b
+    # flag added AFTER completion → backfill, no reprocess
+    ck2 = str(tmp_path / "ck2")
+    clean2 = str(tmp_path / "clean2")
+    run_checkpointed_validation(spark, table_path, reg, ck2)
+    again = run_checkpointed_validation(
+        spark, table_path, reg, ck2, clean_output=clean2
+    )
+    assert again == {}
+    assert spark.read.parquet(clean2).count() == want.count()
