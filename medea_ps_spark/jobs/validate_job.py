@@ -132,6 +132,21 @@ def main() -> None:
              "sketch store with no rescan of completed partitions",
     )
     ap.add_argument(
+        "--no-witness-stats", action="store_true",
+        help="skip recording per-partition witness stats (pruning.py) "
+             "in the manifest. They default ON because collection rides "
+             "the existing metrics aggregate (zero extra scans) and a "
+             "later --evolve uses them to PROVE added constraints "
+             "violation-free per partition, skipping those rescans",
+    )
+    ap.add_argument(
+        "--witness-distinct", default=None, metavar="COLS",
+        help="comma-separated LOW-CARDINALITY string columns whose "
+             "capped exact distinct-value lists join the witness stats "
+             "(enables IsIn proofs on --evolve). collect_set state "
+             "grows with cardinality — never name an id-like column",
+    )
+    ap.add_argument(
         "--history", default=None,
         help="metrics-history directory (operators/anomaly.py): after "
              "the run, derive this run's totals from the checkpoint "
@@ -157,6 +172,12 @@ def main() -> None:
 
     spark = SparkSession.builder.appName("medea-validate").getOrCreate()
     reg = build_registry(args.vocab, args.max_len, ALLOWED_SOURCES)
+    witness_kw = {
+        "store_witnesses": not args.no_witness_stats,
+        "witness_distinct_columns": (
+            args.witness_distinct.split(",") if args.witness_distinct else None
+        ),
+    }
     if args.evolve:
         out = evolve_checkpointed_validation(
             spark,
@@ -167,10 +188,12 @@ def main() -> None:
             partition_col=args.partition_col,
             metrics_only=args.metrics_only,
             violation_limit=args.violation_limit,
+            **witness_kw,
         )
         result = {
             "delta": out["delta"],
             "upgraded": out["upgraded"],
+            "proven": out["proven"],
             "partitions": out["reprocessed"],
         }
     else:
@@ -186,6 +209,7 @@ def main() -> None:
             uniqueness_sketch_col=args.uniqueness_sketch,
             profile_specs=parse_profile_specs(args.profile),
             clean_output=args.clean_output,
+            **witness_kw,
         )
         result = {"partitions": metrics}
     if args.history:

@@ -9,12 +9,13 @@ from __future__ import annotations
 
 import os
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional
+from typing import Dict, List, Optional, Sequence
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..plans.compiler import CompiledSet, Registry
 from ..plans.constraints import Drift, StatsBound
+from . import pruning as PR
 from . import validator as V
 from .checkpoint import CheckpointedRun
 from .drift import ReferenceProfile, drift_verdicts
@@ -78,6 +79,8 @@ def run_checkpointed_validation(
     uniqueness_sketch_col: Optional[str] = None,
     profile_specs: Optional[Dict[str, Dict]] = None,
     clean_output: Optional[str] = None,
+    store_witnesses: bool = True,
+    witness_distinct_columns: Optional[Sequence[str]] = None,
 ) -> Dict[str, Dict]:
     """Partition-at-a-time validation with resume: violations are
     written per partition (immutable once done), metrics land in the
@@ -130,7 +133,20 @@ def run_checkpointed_validation(
     each completed partition's distribution profile — histogram counts,
     t-digest, column stats — the same way (operators/profilestore.py):
     global quantiles/histograms and corpus-vs-new-partition drift then
-    come from the store with no rescan."""
+    come from the store with no rescan.
+
+    ``store_witnesses`` (default ON) records each completed partition's
+    generic witness stats (operators/pruning.py — null counts, scalar
+    min/max, array size/element min/max, SizeEquals indicators) in its
+    manifest entry. Collection is free: the witness aggregates ride the
+    SAME n_rows/n_failed aggregation pass, adding zero scans and zero
+    shuffles. They pay off at evolve time: an added constraint the
+    stored witnesses prove violation-free upgrades the partition with
+    NO data scan at all (constraint-level data skipping).
+    ``witness_distinct_columns`` opts named low-cardinality string
+    columns into capped exact distinct lists (decides IsIn proofs);
+    collect_set state grows with cardinality, so never name an
+    id-like column here."""
     from ..plans.compiler import fingerprint_set
     from ..plans.evolution import constraint_fingerprints
     from . import hll as H
@@ -197,11 +213,22 @@ def run_checkpointed_validation(
 
             part = os.path.basename(out_dir).split("=", 1)[1]
             P.write_partition_profile(pdf, profile_specs, checkpoint_dir, part)
-        agg = validated.agg(
+        aggs = [
             F.count(F.lit(1)).alias("n_rows"),
             F.sum((~F.col(V.PASSED_COL)).cast("bigint")).alias("n_failed"),
-        ).collect()[0]
+        ]
+        wpairs = []
+        if store_witnesses:
+            # witness aggregates ride the SAME pass — no extra scan
+            wpairs = PR.witness_aggs(
+                pdf.schema,
+                distinct_columns=witness_distinct_columns or (),
+            )
+            aggs += [col.alias(f"_w{i}") for i, (_k, col) in enumerate(wpairs)]
+        agg = validated.agg(*aggs).collect()[0]
         out = {"n_rows": agg["n_rows"], "n_failed": agg["n_failed"]}
+        if store_witnesses:
+            out["witnesses"] = PR.witnesses_from_row(wpairs, agg)
         if metrics_only:
             out["n_table_violations"] = sum(table_counts.values())
             out["table_violations"] = table_counts
@@ -221,7 +248,7 @@ def run_checkpointed_validation(
     elif violation_limit is not None:
         sink = "sampled"
     results = ck.run(process, sink=sink, min_violation_limit=violation_limit)
-    if uniqueness_sketch_col or profile_specs or clean_output:
+    if uniqueness_sketch_col or profile_specs or clean_output or store_witnesses:
         # the store/clean flags must not be silent no-ops on an
         # already-completed checkpoint: partitions that resume SKIPPED
         # (so process() never ran) but are missing the requested
@@ -230,6 +257,8 @@ def run_checkpointed_validation(
         _backfill_artifacts(
             spark, ck, uniqueness_sketch_col, profile_specs, clean_output,
             registry, root, partition_col,
+            store_witnesses=store_witnesses,
+            witness_distinct_columns=witness_distinct_columns,
         )
     return results
 
@@ -237,9 +266,12 @@ def run_checkpointed_validation(
 def _backfill_artifacts(
     spark, ck, uniqueness_sketch_col, profile_specs, clean_output,
     registry, root, partition_col,
+    store_witnesses: bool = False,
+    witness_distinct_columns: Optional[Sequence[str]] = None,
 ) -> None:
     from . import hll as H
 
+    manifest_dirty = False
     for p, e in sorted(ck.manifest.entries.items()):
         if e.status != "done" or e.fingerprint != ck.manifest.fingerprint:
             continue
@@ -257,7 +289,8 @@ def _backfill_artifacts(
         need_clean = clean_output and not os.path.isdir(
             os.path.join(clean_output, pdir)
         )
-        if not (need_sketch or need_profile or need_clean):
+        need_witness = store_witnesses and "witnesses" not in e.metrics
+        if not (need_sketch or need_profile or need_clean or need_witness):
             continue
         df = spark.read.parquet(
             os.path.join(ck.table_path, pdir)
@@ -276,6 +309,13 @@ def _backfill_artifacts(
             V.strip_verdicts(validated.where(F.col(V.PASSED_COL))).write.mode(
                 "overwrite"
             ).parquet(os.path.join(clean_output, pdir))
+        if need_witness:
+            e.metrics["witnesses"] = PR.collect_witnesses(
+                df, distinct_columns=witness_distinct_columns or ()
+            )
+            manifest_dirty = True
+    if manifest_dirty:
+        ck._save()
 
 
 def _rm_dir(path: str) -> None:
@@ -326,6 +366,8 @@ def evolve_checkpointed_validation(
     root: str = "$start",
     metrics_only: bool = False,
     violation_limit: Optional[int] = None,
+    store_witnesses: bool = True,
+    witness_distinct_columns: Optional[Sequence[str]] = None,
 ) -> Dict:
     """Apply an EDITED constraint set to an existing checkpointed run by
     re-doing only the delta's work (plans/evolution.py) instead of the
@@ -334,13 +376,20 @@ def evolve_checkpointed_validation(
     * removed/changed constraints: their violation rows are dropped from
       each completed partition's parquet by constraint_id — no
       recompute;
-    * added/changed constraints: re-run ALONE per completed partition
-      (one subset compile), their rows merged into the sink — the
-      unchanged K-1 table checks (each a shuffle at 10^12 rows) never
-      re-execute;
+    * added/changed constraints: per completed partition, each is first
+      tested against the entry's stored witness stats
+      (operators/pruning.py): a constraint the witnesses PROVE
+      violation-free is skipped outright — when the whole delta is
+      proven additions, the upgrade touches no data at all (manifest
+      edit only; reported under ``"proven"``). Unproven constraints
+      re-run ALONE (one subset compile), their rows merged into the
+      sink — the unchanged K-1 table checks (each a shuffle at 10^12
+      rows) never re-execute;
     * per-row verdict metrics (n_rows/n_failed): recomputed with one
-      shuffle-free scan only when a ROW-level constraint is touched,
-      reused otherwise;
+      shuffle-free scan only when a ROW-level constraint is touched
+      AND the touch isn't a fully-proven addition (a proven-added
+      constraint flags no row, so the stored verdict counts are
+      already exact), reused otherwise;
     * metrics-only entries adjust their per-constraint count map the
       same way;
     * sampled entries merge their exemplar parquet like row entries
@@ -369,6 +418,7 @@ def evolve_checkpointed_validation(
     new_fps = EV.constraint_fingerprints(registry, root)
     manifest_path = os.path.join(checkpoint_dir, MANIFEST_NAME)
     upgraded: Dict[str, Dict] = {}
+    proven: Dict[str, List[str]] = {}
     delta_out: Optional[Dict] = None
 
     if os.path.exists(manifest_path):
@@ -381,11 +431,18 @@ def evolve_checkpointed_validation(
                 n for n in delta.touched
                 if (man.constraint_fps.get(n) or new_fps[n])["level"] == "table"
             ]
-            sub = (
-                EV.subset_registry(registry, root, delta.rerun)
-                if delta.rerun
-                else None
-            )
+            touched_row = [
+                n for n in delta.touched
+                if (man.constraint_fps.get(n) or new_fps[n])["level"] == "row"
+            ]
+            rerun_row = [
+                n for n in delta.rerun if new_fps[n]["level"] == "row"
+            ]
+            added = set(delta.added)
+            # witnesses differ per partition, so the subset registry is
+            # built per distinct unproven-name set (cached — partitions
+            # usually agree)
+            sub_cache: Dict[frozenset, Optional[Registry]] = {}
             # an in-place upgrade is only worth doing for entries whose
             # sink COVERS this call's requested mode — anything below it
             # (e.g. sampled entries under a rows-mode evolve, or a
@@ -413,13 +470,47 @@ def evolve_checkpointed_validation(
                     )
                 ):
                     continue  # full reprocess below
+                # constraint-level data skipping: delta constraints the
+                # stored witnesses prove violation-free don't re-run
+                proofs = PR.prove_constraints(
+                    registry, root, rerun_row, e.metrics.get("witnesses")
+                )
+                p_proven = sorted(n for n, ok in proofs.items() if ok)
+                unproven = [n for n in delta.rerun if n not in set(p_proven)]
+                key = frozenset(unproven)
+                if key not in sub_cache:
+                    sub_cache[key] = (
+                        EV.subset_registry(registry, root, unproven)
+                        if unproven
+                        else None
+                    )
+                sub = sub_cache[key]
+                sub_has_table = any(
+                    new_fps[n]["level"] == "table" for n in unproven
+                )
+                # the sink only changes if rows may drop (removed /
+                # changed) or new checks actually run; the verdict
+                # counts only change if a touched row constraint is
+                # anything other than a proven addition
+                rewrite_sink = bool(
+                    delta.removed or delta.changed or unproven
+                )
+                recompute_verdicts = any(
+                    not (n in added and n in set(p_proven))
+                    for n in touched_row
+                )
                 if _upgrade_partition(
                     spark, table_path, checkpoint_dir, p, e, delta, sub,
                     touched_table, registry, root, id_column, partition_col,
+                    rewrite_sink=rewrite_sink,
+                    recompute_verdicts=recompute_verdicts,
+                    sub_has_table=sub_has_table,
                 ):
                     e.fingerprint = new_fp
                     e.finished_at = time.time()
                     upgraded[p] = e.metrics
+                    if p_proven:
+                        proven[p] = p_proven
                     _atomic_write(manifest_path, man.to_json())
             man.fingerprint = new_fp
             man.constraint_fps = new_fps
@@ -429,72 +520,104 @@ def evolve_checkpointed_validation(
         spark, table_path, registry, checkpoint_dir,
         id_column=id_column, partition_col=partition_col, root=root,
         metrics_only=metrics_only, violation_limit=violation_limit,
+        store_witnesses=store_witnesses,
+        witness_distinct_columns=witness_distinct_columns,
     )
-    return {"delta": delta_out, "upgraded": upgraded, "reprocessed": reprocessed}
+    return {
+        "delta": delta_out,
+        "upgraded": upgraded,
+        "proven": proven,
+        "reprocessed": reprocessed,
+    }
 
 
 def _upgrade_partition(
     spark, table_path, checkpoint_dir, p, entry, delta, sub,
     touched_table, registry, root, id_column, partition_col,
+    rewrite_sink: bool = True,
+    recompute_verdicts: Optional[bool] = None,
+    sub_has_table: bool = True,
 ) -> bool:
     """One completed partition, delta-only. Returns False when the
     entry's artifacts can't support an in-place upgrade (torn sink dir,
     pre-evolution metrics without a per-constraint map) — the caller
-    then leaves it pending for full reprocessing."""
+    then leaves it pending for full reprocessing.
+
+    ``rewrite_sink=False`` / ``recompute_verdicts=False`` are the
+    witness-proof fast paths (the caller established that the delta
+    can't change the sink or the verdict counts): the partition's DATA
+    is then never read — the lazy ``df()`` below only materializes on
+    a path that actually needs it, so a fully-proven delta costs zero
+    Spark jobs here."""
     import shutil
 
     pdir = f"{partition_col}={p}"
-    df = spark.read.parquet(os.path.join(table_path, pdir)).withColumn(
-        partition_col, F.lit(p)
-    )
+    _df_box: List[DataFrame] = []
+
+    def df() -> DataFrame:
+        if not _df_box:
+            _df_box.append(
+                spark.read.parquet(os.path.join(table_path, pdir)).withColumn(
+                    partition_col, F.lit(p)
+                )
+            )
+        return _df_box[0]
+
+    if recompute_verdicts is None:
+        recompute_verdicts = delta.touches_row_level
     if entry.sink == "rows":
         viol_dir = os.path.join(checkpoint_dir, "out", pdir, "violations")
         if not os.path.isdir(viol_dir):
             return False
-        keep = spark.read.parquet(viol_dir).where(
-            ~F.col("constraint_id").isin(delta.touched)
-        )
-        if sub is not None:
-            sub_compiled = sub.compile(df.schema, root=root)
-            merged = keep.unionByName(
-                V.all_violations(df, sub_compiled, id_column=id_column)
+        if rewrite_sink:
+            keep = spark.read.parquet(viol_dir).where(
+                ~F.col("constraint_id").isin(delta.touched)
             )
-        else:
-            merged = keep
-        tmp = viol_dir + "_new"
-        merged.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(viol_dir)
-        os.replace(tmp, viol_dir)
+            if sub is not None:
+                sub_compiled = sub.compile(df().schema, root=root)
+                merged = keep.unionByName(
+                    V.all_violations(df(), sub_compiled, id_column=id_column)
+                )
+            else:
+                merged = keep
+            tmp = viol_dir + "_new"
+            merged.write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(viol_dir)
+            os.replace(tmp, viol_dir)
     elif entry.sink == "sampled":
         sdir = os.path.join(checkpoint_dir, "out", pdir, "violations_sample")
         limit = entry.metrics.get("violation_limit")
         if not os.path.isdir(sdir) or not limit:
             return False  # torn sink / pre-limit metrics: full reprocess
-        keep = spark.read.parquet(sdir).where(
-            ~F.col("constraint_id").isin(delta.touched)
-        )
-        if sub is not None:
-            sub_compiled = sub.compile(df.schema, root=root)
-            merged = keep.unionByName(
-                V.sampled_violations(
-                    df, sub_compiled, id_column=id_column, limit=int(limit)
-                )
+        if rewrite_sink:
+            keep = spark.read.parquet(sdir).where(
+                ~F.col("constraint_id").isin(delta.touched)
             )
-        else:
-            merged = keep
-        tmp = sdir + "_new"
-        merged.write.mode("overwrite").parquet(tmp)
-        shutil.rmtree(sdir)
-        os.replace(tmp, sdir)
-        counts = _counts_from_sample(spark, sdir)
-        entry.metrics["violation_counts"] = counts
-        table_names = {
-            t.name
-            for t in registry.compile(df.schema, root=root).table_constraints
-        }
-        entry.metrics["n_table_violations"] = sum(
-            n for c, n in counts.items() if c in table_names
-        )
+            if sub is not None:
+                sub_compiled = sub.compile(df().schema, root=root)
+                merged = keep.unionByName(
+                    V.sampled_violations(
+                        df(), sub_compiled, id_column=id_column,
+                        limit=int(limit),
+                    )
+                )
+            else:
+                merged = keep
+            tmp = sdir + "_new"
+            merged.write.mode("overwrite").parquet(tmp)
+            shutil.rmtree(sdir)
+            os.replace(tmp, sdir)
+            counts = _counts_from_sample(spark, sdir)
+            entry.metrics["violation_counts"] = counts
+            table_names = {
+                t.name
+                for t in registry.compile(
+                    df().schema, root=root
+                ).table_constraints
+            }
+            entry.metrics["n_table_violations"] = sum(
+                n for c, n in counts.items() if c in table_names
+            )
     else:  # metrics-only entry
         counts = entry.metrics.get("table_violations")
         if counts is None:
@@ -505,17 +628,17 @@ def _upgrade_partition(
             counts = dict(counts)
             for n in delta.touched:
                 counts.pop(n, None)
-            if sub is not None:
-                sub_compiled = sub.compile(df.schema, root=root)
+            if sub is not None and sub_has_table:
+                sub_compiled = sub.compile(df().schema, root=root)
                 counts.update(
-                    _table_violation_counts(df, sub_compiled.table_constraints)
+                    _table_violation_counts(df(), sub_compiled.table_constraints)
                 )
             entry.metrics["table_violations"] = counts
             entry.metrics["n_table_violations"] = sum(counts.values())
-    if delta.touches_row_level:
-        compiled = registry.compile(df.schema, root=root)
+    if recompute_verdicts:
+        compiled = registry.compile(df().schema, root=root)
         agg = (
-            V.validate(df, compiled)
+            V.validate(df(), compiled)
             .agg(
                 F.count(F.lit(1)).alias("n_rows"),
                 F.sum((~F.col(V.PASSED_COL)).cast("bigint")).alias("n_failed"),
