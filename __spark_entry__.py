@@ -951,6 +951,39 @@ def q_mixture_sample(spark, sf_dir):
     )
 
 
+_EST_FRAC = 0.5
+_EST_SEED = 13
+_EST_Z = 1.96
+_EST_Z2 = _EST_Z * _EST_Z  # embedded via repr on BOTH sides — same double
+
+
+def q_validate_estimate(spark, sf_dir):
+    """Sampled (approximate) validation: per-row-constraint violation
+    counts and Wilson 95% intervals estimated from a deterministic md5
+    hash sample of the flagship corpus (operators/estimate.py) — one
+    sampled scan, one hash aggregate, CI math as Column expressions.
+    Table-level constraints (source_known, doc_id_unique) are skipped
+    by design (a sampled uniqueness rate is birthday-biased) and keep
+    their own driver rows. Folds mixture_sample (r5 s8): membership
+    here is decided by the SAME sampling.keep_predicate md5-hex
+    coordinate, so the house deterministic-sampling trick stays
+    oracle-verified end-to-end; the stratified per-source mixture path
+    keeps its coverage in test_sampling_packing.py."""
+    from medea_ps_spark.operators.estimate import estimated_violation_rates
+
+    df, compiled = _validated(spark, sf_dir)
+    est = estimated_violation_rates(
+        df, compiled, _EST_FRAC, key_col="doc_id", seed=_EST_SEED,
+        z=_EST_Z, on_table_constraints="ignore",
+    )
+    return est.select(
+        "constraint_id", "n_sampled", "n_violations",
+        F.round("est_rate", 6).alias("est_rate"),
+        F.round("ci_lo", 6).alias("ci_lo"),
+        F.round("ci_hi", 6).alias("ci_hi"),
+    )
+
+
 def q_sample_split(spark, sf_dir):
     """Deterministic train/holdout split: disjoint + exhaustive by
     construction; the checksum proves both sides agree on MEMBERSHIP."""
@@ -1266,7 +1299,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     tokens-in-vocab rows, and pytest-covered in the conformance suite)
     to make room for validate_violations_sample — the bounded
     violation-exemplar sink (capped md5-keyed exemplars + exact
-    per-constraint totals in one shuffle) under the oracle."""
+    per-constraint totals in one shuffle) under the oracle.
+
+    Round-5 session 8 folded mixture_sample → validate_estimate: the
+    estimator's sample membership is the SAME keep_predicate md5-hex
+    coordinate mixture_sample verified, so the deterministic-sampling
+    trick stays under the oracle, now composed with the validator and
+    Wilson-interval Column math; the stratified per-source mixture
+    stays covered by test_sampling_packing.py."""
     return {
         "validate_violations": q_validate_violations,
         "validate_verdicts": q_validate_verdicts,
@@ -1313,7 +1353,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_tdigest": q_quantiles_tdigest,
         "quality_model": q_quality_model,
         "text_repetition": q_text_repetition,
-        "mixture_sample": q_mixture_sample,
+        "validate_estimate": q_validate_estimate,
         "fd_check": q_fd_check,
         "seq_packing": q_seq_packing,
         "events_asof": q_events_asof,
@@ -1579,27 +1619,6 @@ def _ann_ivf_sql(n_probe: int = 3, k: int = 3) -> str:
         SELECT query_id, neighbor_id, round(sim, 4) AS cosine_sim, rank
         FROM ranked WHERE rank <= {k}
     """
-
-
-def _sample_hex(seed: int) -> str:
-    """DuckDB twin of sampling.hash_bucket — md5 is bit-identical and
-    fixed-width hex compares lexicographically == numerically."""
-    return f"substr(md5(CAST(doc_id AS VARCHAR) || ':{seed}'), 1, 8)"
-
-
-def _mixture_pred_sql() -> str:
-    from medea_ps_spark.operators.sampling import rate_threshold
-
-    h = _sample_hex(_MIX_SEED)
-    cases = " ".join(
-        f"WHEN '{s}' THEN "
-        + ("TRUE" if r >= 1.0 else f"{h} < '{rate_threshold(r)}'")
-        for s, r in sorted(_MIX_RATES.items())
-    )
-    return (
-        f"CASE source {cases} "
-        f"ELSE {h} < '{rate_threshold(_MIX_DEFAULT)}' END"
-    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2252,12 +2271,55 @@ def oracle_sql() -> dict[str, str]:
                          6) AS dup_bigram_frac
             FROM b
         """,
-        "mixture_sample": f"""
-            SELECT source, count(*) AS n_sampled,
-                   CAST(sum(doc_id) AS BIGINT) AS sum_doc_id
-            FROM documents
-            WHERE {_mixture_pred_sql()}
-            GROUP BY source
+        "validate_estimate": f"""
+            WITH s AS (
+              SELECT * FROM documents
+              WHERE substr(md5(concat_ws(':', CAST(doc_id AS VARCHAR),
+                                         '{_EST_SEED}')), 1, 8)
+                    < '{rate_threshold(_EST_FRAC)}'
+            ), a AS (
+              SELECT count(*) AS n,
+                CAST(sum(CASE WHEN doc_id IS NULL
+                              THEN 1 ELSE 0 END) AS BIGINT) AS v0,
+                CAST(sum(CASE WHEN NOT coalesce(n_chars = length(text), TRUE)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+                CAST(sum(CASE WHEN NOT coalesce({_P_NCHARS}, TRUE)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS v2,
+                CAST(sum(CASE WHEN NOT coalesce({_P_LANG}, TRUE)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS v3,
+                CAST(sum(CASE WHEN NOT coalesce({_P_SRC_FMT}, TRUE)
+                              THEN 1 ELSE 0 END) AS BIGINT) AS v4,
+                CAST(sum(CASE WHEN {_P_ZH_FAIL}
+                              THEN 1 ELSE 0 END) AS BIGINT) AS v5
+              FROM s
+            ), l AS (
+              SELECT 'doc_id_not_null' AS constraint_id, n, v0 AS v FROM a
+              UNION ALL SELECT 'n_chars_consistent', n, v1 FROM a
+              UNION ALL SELECT 'n_chars_bounds', n, v2 FROM a
+              UNION ALL SELECT 'lang_allowed', n, v3 FROM a
+              UNION ALL SELECT 'source_format', n, v4 FROM a
+              UNION ALL SELECT 'zh_n_chars_cap', n, v5 FROM a
+            ), w AS (
+              SELECT constraint_id, n, v,
+                     CAST(v AS DOUBLE) / CAST(n AS DOUBLE) AS phat,
+                     CAST(n AS DOUBLE) AS nd
+              FROM l
+            )
+            SELECT constraint_id,
+                   n AS n_sampled,
+                   v AS n_violations,
+                   round(phat, 6) AS est_rate,
+                   round(greatest(0.0,
+                     ((phat + {_EST_Z2!r} / (2.0 * nd))
+                      - {_EST_Z!r} * sqrt((phat * (1.0 - phat)
+                                           + {_EST_Z2!r} / (4.0 * nd)) / nd))
+                     / (1.0 + {_EST_Z2!r} / nd)), 6) AS ci_lo,
+                   round(least(1.0,
+                     ((phat + {_EST_Z2!r} / (2.0 * nd))
+                      + {_EST_Z!r} * sqrt((phat * (1.0 - phat)
+                                           + {_EST_Z2!r} / (4.0 * nd)) / nd))
+                     / (1.0 + {_EST_Z2!r} / nd)), 6) AS ci_hi
+            FROM w
         """,
         "fd_check": """
             WITH f AS (

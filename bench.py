@@ -305,7 +305,8 @@ def bench_queries(spark) -> dict:
         "ann_topk", "ann_lsh", "text_quality",
         "stats_bounds", "events_user_skew", "seq_validation",
         # round-3 operators
-        "events_asof", "events_sessions_detail", "seq_packing", "mixture_sample",
+        "events_asof", "events_sessions_detail", "seq_packing",
+        "validate_estimate",
         "text_repetition", "events_in_windows",
         "kmv_distinct", "events_rollup",
         # round-4 operator

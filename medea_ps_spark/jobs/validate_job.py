@@ -132,6 +132,22 @@ def main() -> None:
              "sketch store with no rescan of completed partitions",
     )
     ap.add_argument(
+        "--estimate", type=float, default=None, metavar="FRACTION",
+        help="approximate mode: instead of the full checkpointed run, "
+             "estimate each ROW constraint's violation rate from a "
+             "deterministic FRACTION hash sample (operators/estimate.py) "
+             "and print per-constraint Wilson 95%% intervals — the "
+             "'how broken is this table' answer in one sampled scan "
+             "before committing to the 10^12-row job. Table-level "
+             "constraints are listed as skipped (sample-biased). "
+             "No checkpoint is read or written",
+    )
+    ap.add_argument(
+        "--estimate-seed", type=int, default=42,
+        help="hash-sample seed for --estimate (same seed = same rows, "
+             "any cluster size or layout)",
+    )
+    ap.add_argument(
         "--no-witness-stats", action="store_true",
         help="skip recording per-partition witness stats (pruning.py) "
              "in the manifest. They default ON because collection rides "
@@ -178,6 +194,55 @@ def main() -> None:
             args.witness_distinct.split(",") if args.witness_distinct else None
         ),
     }
+    if args.estimate is not None:
+        from pyspark.sql import functions as F
+
+        from medea_ps_spark.operators.estimate import (
+            estimated_violation_rates,
+            skipped_table_constraints,
+        )
+
+        # reading the table ROOT keeps the partition column (directory
+        # layout), which the compiled set may reference
+        df = spark.read.parquet(args.input)
+        compiled = reg.compile(df.schema)
+        est = estimated_violation_rates(
+            df,
+            compiled,
+            fraction=args.estimate,
+            key_col=args.id_col,
+            seed=args.estimate_seed,
+            on_table_constraints="ignore",
+        )
+        rows = {
+            r["constraint_id"]: {
+                "n_sampled": r["n_sampled"],
+                "n_violations": r["n_violations"],
+                "est_rate": r["est_rate"],
+                "ci_lo": r["ci_lo"],
+                "ci_hi": r["ci_hi"],
+            }
+            for r in est.withColumn(
+                "est_rate", F.round("est_rate", 6)
+            ).withColumn("ci_lo", F.round("ci_lo", 6)).withColumn(
+                "ci_hi", F.round("ci_hi", 6)
+            ).collect()
+        }
+        print(
+            json.dumps(
+                {
+                    "estimate": rows,
+                    "fraction": args.estimate,
+                    "seed": args.estimate_seed,
+                    "skipped_table_constraints": skipped_table_constraints(
+                        compiled
+                    ),
+                },
+                sort_keys=True,
+            )
+        )
+        spark.stop()
+        return
     if args.evolve:
         out = evolve_checkpointed_validation(
             spark,
