@@ -124,7 +124,15 @@ def estimated_violation_rates(
     rcs = compiled.row_constraints
     spark = df.sparkSession
     if not rcs:
-        return spark.createDataFrame([], _EST_SCHEMA)
+        # keep the schema contract identical to the non-empty path so
+        # callers can union results regardless of constraint count
+        schema = _EST_SCHEMA
+        if total_rows is not None:
+            schema += (
+                ", est_total_violations double, est_total_lo double, "
+                "est_total_hi double"
+            )
+        return spark.createDataFrame([], schema)
 
     sample = df.where(keep_predicate(F.col(key_col), fraction, seed))
     # violation indicator == validate()'s semantics: a NULL predicate

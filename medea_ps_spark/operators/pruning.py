@@ -211,9 +211,12 @@ def _range_proof(w: Dict, kmin: str, kmax: str, lo, hi, hi_exclusive=False) -> b
         return False
     if isinstance(mx, float) and math.isnan(mx):
         return False
-    # beyond 2^53 a bigint→double witness may have rounded past the
-    # true extremum — refuse to prove from it
-    if abs(mn) > 2.0**53 or abs(mx) > 2.0**53:
+    # at/beyond 2^53 a bigint→double witness may have rounded past the
+    # true extremum — refuse to prove from it. The bound is INCLUSIVE:
+    # a true max of 2^53+1 rounds (ties-to-even) to exactly 2^53, so a
+    # stored 2^53 can mask a larger true value; any stored |v| < 2^53
+    # is exactly representable and therefore exact.
+    if abs(mn) >= 2.0**53 or abs(mx) >= 2.0**53:
         return False
     if lo is not None and not (mn >= lo):
         return False

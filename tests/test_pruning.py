@@ -205,6 +205,37 @@ def test_prove_unknown_kinds_and_poison(wit):
     assert not PR.prove_zero_violations(InRange("c", "n_tok", 0, 2.0**61), w2)
 
 
+def test_two_pow_53_boundary_refused(wit, spark):
+    # a true bigint max of 2^53+1 rounds (ties-to-even) to EXACTLY 2^53
+    # in the double witness, so a stored 2^53 can mask a larger true
+    # value — the guard must be inclusive (refuse |v| >= 2^53), else
+    # InRange(lo, 2^53) would be falsely proven on that partition
+    w = dict(wit)
+    w["min.n_tok"] = 0.0
+    w["max.n_tok"] = 2.0**53
+    assert not PR.prove_zero_violations(
+        InRange("c", "n_tok", 0, 2**53), w
+    )
+    # end-to-end: plant the adversarial value and check the round trip
+    df = spark.createDataFrame(
+        [Row(x=0), Row(x=2**53 + 1)], schema="x bigint"
+    )
+    w2 = PR.collect_witnesses(df)
+    assert w2["max.x"] == 2.0**53  # the rounding actually happens
+    c = InRange("c", "x", 0, 2**53)
+    assert not PR.prove_zero_violations(c, w2)
+    compiled = _reg(c).compile(df.schema)
+    n_bad = V.validate(df, compiled).where(~F.col(V.PASSED_COL)).count()
+    assert n_bad == 1  # the row the false proof would have hidden
+    # just below the boundary the witness is exact and still proves
+    df3 = spark.createDataFrame(
+        [Row(x=0), Row(x=2**53 - 1)], schema="x bigint"
+    )
+    assert PR.prove_zero_violations(
+        InRange("c", "x", 0, 2**53 - 1), PR.collect_witnesses(df3)
+    )
+
+
 def test_nan_column_not_proven_and_sound(spark):
     df = spark.createDataFrame(
         [Row(x=1.0), Row(x=float("nan"))], schema="x double"
