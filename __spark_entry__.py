@@ -758,6 +758,36 @@ def q_text_lm_score(spark, sf_dir):
     )
 
 
+_DSIR_SEED = 11
+_DSIR_K = 100
+
+
+def q_dsir_resample(spark, sf_dir):
+    """DSIR importance resampling (operators/dsir.py; Xie et al.
+    NeurIPS 2023): the k=100 documents Gumbel-top-k-sampled without
+    replacement ∝ exp(log-likelihood ratio) toward an English target
+    profile (lang='en') under the engine's unigram machinery. The
+    Gumbel draw is the house md5 60-bit-lane uniform, so selection is
+    deterministic and the DuckDB twin reproduces profile, ratio, draw,
+    and rank term-for-term. Folds events_top_users (r5 s9): the
+    two-phase top-k primitive this selection runs on is the same
+    operator (operators/topk.py), still plan-gated by
+    test_plan_quality.py::test_events_top_users_is_two_phase_topk and
+    exercised grouped by events_user_skew/ann_* rows."""
+    from medea_ps_spark.operators.dsir import dsir_resample
+
+    docs = _docs(spark, sf_dir)
+    target = docs.where(F.col("lang") == "en")
+    out = dsir_resample(
+        docs, target, k=_DSIR_K, seed=_DSIR_SEED, text_col="text",
+        id_col="doc_id",
+    )
+    return out.select(
+        "rank", "doc_id", "n_tokens",
+        F.round("log_ratio", 6).alias("log_ratio"),
+    )
+
+
 # Committed BASELINE-shaped fixture (scripts/make_seq_fixture.py):
 # 20k rows, seed 42, max_len 128, every seeded violation class present.
 # A single parquet FILE so Spark and the DuckDB oracle read the exact
@@ -1306,7 +1336,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     coordinate mixture_sample verified, so the deterministic-sampling
     trick stays under the oracle, now composed with the validator and
     Wilson-interval Column math; the stratified per-source mixture
-    stays covered by test_sampling_packing.py."""
+    stays covered by test_sampling_packing.py.
+
+    Round-5 session 9 folded events_top_users → dsir_resample: both
+    run the SAME two-phase top-k primitive (operators/topk.py — the
+    grouped plan gate test_events_top_users_is_two_phase_topk still
+    calls q_events_top_users directly), and dsir_resample additionally
+    puts the unigram-profile ratio weighting and the md5-lane Gumbel
+    draw under the oracle."""
     return {
         "validate_violations": q_validate_violations,
         "validate_verdicts": q_validate_verdicts,
@@ -1338,7 +1375,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination": q_contamination,
         "text_pii_scrub": q_text_pii_scrub,
         "validate_violations_sample": q_validate_violations_sample,
-        "events_top_users": q_events_top_users,
+        "dsir_resample": q_dsir_resample,
         "events_props_health": q_events_props_health,
         "events_user_skew": q_events_user_skew,
         "token_contamination": q_token_contamination,
@@ -1942,20 +1979,74 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, constraint_id, observed, rank, n_total
             FROM r WHERE rank <= {SAMPLE_LIMIT}
         """,
-        "events_top_users": """
-            WITH totals AS (
-              SELECT event_type, user_id, sum(value) AS total_value
-              FROM events GROUP BY event_type, user_id
-            ), ranked AS (
-              SELECT event_type, user_id, total_value,
-                     row_number() OVER (PARTITION BY event_type
-                                        ORDER BY total_value DESC,
-                                                 user_id ASC) AS rank
-              FROM totals
+        "dsir_resample": f"""
+            WITH norm AS (
+              SELECT doc_id, lang,
+                     trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
+              FROM documents
+            ),
+            cw0 AS (
+              SELECT doc_id, unnest(string_split(t, ' ')) AS word
+              FROM norm WHERE length(t) > 0
+            ),
+            cw AS (
+              SELECT doc_id, word, CAST(count(*) AS BIGINT) AS k
+              FROM cw0 GROUP BY doc_id, word
+            ),
+            tfreq AS (
+              SELECT word, CAST(count(*) AS BIGINT) AS n
+              FROM (
+                SELECT unnest(string_split(t, ' ')) AS word
+                FROM norm WHERE lang = 'en' AND length(t) > 0
+              ) GROUP BY word
+            ),
+            rfreq AS (
+              SELECT word, CAST(sum(k) AS BIGINT) AS n FROM cw GROUP BY word
+            ),
+            ttot AS (
+              SELECT CAST(sum(n) AS DOUBLE) AS N,
+                     CAST(count(*) AS DOUBLE) AS V FROM tfreq
+            ),
+            rtot AS (
+              SELECT CAST(sum(n) AS DOUBLE) AS N,
+                     CAST(count(*) AS DOUBLE) AS V FROM rfreq
+            ),
+            sc AS (
+              -- log_ratio = sum k * (ln p_target - ln p_raw), Laplace
+              -- alpha=1 with a shared OOV bucket per profile — mirrors
+              -- dsir.dsir_log_ratios term-for-term
+              SELECT cw.doc_id, CAST(sum(cw.k) AS BIGINT) AS n_tokens,
+                     sum(cw.k * (
+                       ln((coalesce(tf.n, 0) + 1.0)
+                          / (ttot.N + 1.0 * (ttot.V + 1)))
+                     - ln((rf.n + 1.0)
+                          / (rtot.N + 1.0 * (rtot.V + 1)))
+                     )) AS lr
+              FROM cw
+              LEFT JOIN tfreq tf USING (word)
+              JOIN rfreq rf USING (word), ttot, rtot
+              GROUP BY cw.doc_id
+            ),
+            g AS (
+              -- deterministic standard Gumbel from the md5 60-bit lane:
+              -- u = (lane + 0.5) / 2^60, key = lr - ln(-ln u)
+              SELECT doc_id, n_tokens, lr,
+                     lr - ln(-ln(
+                       (CAST(('0x' || substr(md5(
+                          CAST(doc_id AS VARCHAR) || ':{_DSIR_SEED}'
+                        ), 1, 15)) AS BIGINT) + 0.5)
+                       / 1152921504606846976.0
+                     )) AS gk
+              FROM sc
+            ),
+            ranked AS (
+              SELECT doc_id, n_tokens, lr,
+                     row_number() OVER (ORDER BY gk DESC, doc_id ASC)
+                       AS rank
+              FROM g
             )
-            SELECT event_type, user_id,
-                   round(total_value, 2) AS total_value, rank
-            FROM ranked WHERE rank <= 2
+            SELECT rank, doc_id, n_tokens, round(lr, 6) AS log_ratio
+            FROM ranked WHERE rank <= {_DSIR_K}
         """,
         "events_props_health": """
             SELECT event_type, count(*) AS n_rows,

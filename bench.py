@@ -314,7 +314,7 @@ def bench_queries(spark) -> dict:
         # round-5 operators
         "table_diff", "quality_model", "dedup_incremental",
         "token_contamination", "token_dup_spans",
-        "validate_violations_sample",
+        "validate_violations_sample", "dsir_resample",
     ]
     qs = em.queries()
     out = {}
