@@ -2033,7 +2033,8 @@ def oracle_sql() -> dict[str, str]:
               SELECT doc_id, n_tokens, lr,
                      lr - ln(-ln(
                        (CAST(('0x' || substr(md5(
-                          CAST(doc_id AS VARCHAR) || ':{_DSIR_SEED}'
+                          concat_ws(':', CAST(doc_id AS VARCHAR),
+                                    '{_DSIR_SEED}')
                         ), 1, 15)) AS BIGINT) + 0.5)
                        / 1152921504606846976.0
                      )) AS gk

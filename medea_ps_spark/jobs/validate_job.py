@@ -156,6 +156,15 @@ def main() -> None:
              "violation-free per partition, skipping those rescans",
     )
     ap.add_argument(
+        "--backfill-witnesses", action="store_true",
+        help="also collect witness stats for completed partitions that "
+             "predate witness storage — ONE FULL SCAN per such "
+             "partition, so it is opt-in: without it, a plain resume of "
+             "a pre-witness checkpoint stays metadata-only and --evolve "
+             "simply can't skip-prove on those partitions (it falls "
+             "back to the normal delta scan)",
+    )
+    ap.add_argument(
         "--witness-distinct", default=None, metavar="COLS",
         help="comma-separated LOW-CARDINALITY string columns whose "
              "capped exact distinct-value lists join the witness stats "
@@ -193,6 +202,7 @@ def main() -> None:
         "witness_distinct_columns": (
             args.witness_distinct.split(",") if args.witness_distinct else None
         ),
+        "backfill_witnesses": args.backfill_witnesses,
     }
     if args.estimate is not None:
         from pyspark.sql import functions as F

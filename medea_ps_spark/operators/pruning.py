@@ -245,7 +245,11 @@ def prove_zero_violations(
         has, v = _num(w, K_NULL + c.column)
         return has and v == 0
     if isinstance(c, C.TypeIs):
-        # static check; the compiled runtime predicate is lit(True)
+        # static check; the compiled runtime predicate is lit(True).
+        # SOUND ONLY because every caller compiles the registry against
+        # the live table schema first (evolve does so up front, before
+        # any proof) — compile raises UnknownColumn/ColumnTypeMismatch
+        # for an invalid TypeIs, so a proof is never consulted for one.
         return True
     if isinstance(c, C.InRange):
         return _range_proof(

@@ -81,6 +81,7 @@ def run_checkpointed_validation(
     clean_output: Optional[str] = None,
     store_witnesses: bool = True,
     witness_distinct_columns: Optional[Sequence[str]] = None,
+    backfill_witnesses: bool = False,
 ) -> Dict[str, Dict]:
     """Partition-at-a-time validation with resume: violations are
     written per partition (immutable once done), metrics land in the
@@ -146,7 +147,16 @@ def run_checkpointed_validation(
     ``witness_distinct_columns`` opts named low-cardinality string
     columns into capped exact distinct lists (decides IsIn proofs);
     collect_set state grows with cardinality, so never name an
-    id-like column here."""
+    id-like column here.
+
+    ``backfill_witnesses=True`` additionally collects witnesses for
+    already-completed partitions that predate witness storage — one
+    full (pruned) scan per such partition, so it is an EXPLICIT opt-in:
+    the default keeps "resume of a completed checkpoint" a metadata-only
+    no-op even on pre-witness manifests (witness collection is only free
+    on partitions being processed anyway). Without the backfill, a later
+    evolve simply can't prove constraints on those partitions and falls
+    back to the scan path — correct, just less skippable."""
     from ..plans.compiler import fingerprint_set
     from ..plans.evolution import constraint_fingerprints
     from . import hll as H
@@ -248,16 +258,20 @@ def run_checkpointed_validation(
     elif violation_limit is not None:
         sink = "sampled"
     results = ck.run(process, sink=sink, min_violation_limit=violation_limit)
-    if uniqueness_sketch_col or profile_specs or clean_output or store_witnesses:
-        # the store/clean flags must not be silent no-ops on an
-        # already-completed checkpoint: partitions that resume SKIPPED
-        # (so process() never ran) but are missing the requested
-        # artifact get it backfilled here — one pruned scan per missing
-        # artifact only, never a rescan of partitions that have it
+    if uniqueness_sketch_col or profile_specs or clean_output or backfill_witnesses:
+        # the explicitly-requested store/clean flags must not be silent
+        # no-ops on an already-completed checkpoint: partitions that
+        # resume SKIPPED (so process() never ran) but are missing the
+        # requested artifact get it backfilled here — one pruned scan
+        # per missing artifact only, never a rescan of partitions that
+        # have it. Witnesses are NOT in this set by default: they ride
+        # free on processing but cost a full scan to backfill, so a
+        # plain resume of a pre-witness checkpoint stays metadata-only
+        # unless backfill_witnesses is passed.
         _backfill_artifacts(
             spark, ck, uniqueness_sketch_col, profile_specs, clean_output,
             registry, root, partition_col,
-            store_witnesses=store_witnesses,
+            store_witnesses=backfill_witnesses,
             witness_distinct_columns=witness_distinct_columns,
         )
     return results
@@ -368,6 +382,7 @@ def evolve_checkpointed_validation(
     violation_limit: Optional[int] = None,
     store_witnesses: bool = True,
     witness_distinct_columns: Optional[Sequence[str]] = None,
+    backfill_witnesses: bool = False,
 ) -> Dict:
     """Apply an EDITED constraint set to an existing checkpointed run by
     re-doing only the delta's work (plans/evolution.py) instead of the
@@ -425,6 +440,25 @@ def evolve_checkpointed_validation(
         with open(manifest_path) as fh:
             man = Manifest.from_json(fh.read())
         if man.fingerprint != new_fp and man.constraint_fps:
+            # compile the NEW set against the table schema up front
+            # (footer-only read — no data scan): a fully-proven delta
+            # otherwise never compiles, so an invalid edit (TypeIs on a
+            # wrong-typed or missing column, lo > hi, ...) would be
+            # silently "proven" instead of raising the same
+            # ColumnTypeMismatch/UnknownColumn a from-scratch run does
+            done_parts = sorted(
+                p for p, e in man.entries.items() if e.status == "done"
+            )
+            if done_parts:
+                p0 = done_parts[0]
+                registry.compile(
+                    spark.read.parquet(
+                        os.path.join(table_path, f"{partition_col}={p0}")
+                    )
+                    .withColumn(partition_col, F.lit(p0))
+                    .schema,
+                    root=root,
+                )
             delta = EV.constraint_delta(man.constraint_fps, new_fps)
             delta_out = delta.to_dict()
             touched_table = [
@@ -522,6 +556,7 @@ def evolve_checkpointed_validation(
         metrics_only=metrics_only, violation_limit=violation_limit,
         store_witnesses=store_witnesses,
         witness_distinct_columns=witness_distinct_columns,
+        backfill_witnesses=backfill_witnesses,
     )
     return {
         "delta": delta_out,

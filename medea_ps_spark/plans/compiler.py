@@ -350,7 +350,12 @@ def _compile_row_constraint(
     if isinstance(c, Matches):
         return F.col(c.column).rlike(c.pattern), F.col(c.column).cast("string")
     if isinstance(c, ArrayLenBetween):
-        size = F.size(F.col(c.column))
+        # size only on non-null arrays: under spark.sql.legacy.sizeOfNull
+        # size(NULL) is -1 (a fake violation the witness prover can't
+        # see); the guard pins NULL-array semantics to "pass via
+        # _null_tolerant" on EVERY config — the default behavior and the
+        # DuckDB oracle's len(NULL)=NULL
+        size = F.when(F.col(c.column).isNotNull(), F.size(F.col(c.column)))
         pred = F.lit(True)
         if c.lo is not None:
             pred = pred & (size >= F.lit(c.lo))
@@ -381,7 +386,11 @@ def _compile_row_constraint(
         return pred, offending.cast("string")
     if isinstance(c, TupleRule):
         n = len(c.positions)
-        pred = F.size(F.col(c.column)) == F.lit(n)
+        # null-guarded size: see ArrayLenBetween
+        pred = (
+            F.when(F.col(c.column).isNotNull(), F.size(F.col(c.column)))
+            == F.lit(n)
+        )
         for i, psql in enumerate(c.positions):
             if psql.strip().lower() in ("true", ""):
                 continue  # ≙ AnyNode positional schema
@@ -391,7 +400,10 @@ def _compile_row_constraint(
             )
         return pred, F.col(c.column).cast("string")
     if isinstance(c, SizeEquals):
-        pred = F.col(c.column) == F.size(F.col(c.array_column))
+        # null-guarded size: see ArrayLenBetween
+        pred = F.col(c.column) == F.when(
+            F.col(c.array_column).isNotNull(), F.size(F.col(c.array_column))
+        )
         obs = F.concat(
             F.col(c.column).cast("string"),
             F.lit(" != size="),

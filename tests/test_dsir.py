@@ -125,6 +125,41 @@ def test_gumbel_key_matches_formula(spark):
         assert g == pytest.approx(ref_gumbel(i, 7), abs=1e-12)
 
 
+def test_gumbel_key_null_matches_duckdb_twin(spark):
+    """NULL keys: Spark's concat_ws SKIPS NULLs, so gumbel_key(NULL)
+    hashes just the seed string. The DuckDB oracle must use concat_ws
+    too (`x || ':s'` would be NULL and sort last) — pin the parity on
+    the exact twin expression."""
+    import duckdb
+
+    seed = 7
+    got = (
+        spark.range(1)
+        .select(
+            dsir.gumbel_key(F.lit(None).cast("string"), seed=seed).alias("g")
+        )
+        .collect()[0]["g"]
+    )
+    want = duckdb.sql(
+        f"""
+        SELECT -ln(-ln(
+          (CAST(('0x' || substr(md5(
+             concat_ws(':', CAST(NULL AS VARCHAR), '{seed}')
+           ), 1, 15)) AS BIGINT) + 0.5) / 1152921504606846976.0
+        )) AS g
+        """
+    ).fetchone()[0]
+    assert got == pytest.approx(want, abs=1e-12)
+    # and it equals md5 of the bare seed string, i.e. NULL was skipped
+    bare = -math.log(
+        -math.log(
+            (int(hashlib.md5(f"{seed}".encode()).hexdigest()[:15], 16) + 0.5)
+            / 16**15
+        )
+    )
+    assert got == pytest.approx(bare, abs=1e-12)
+
+
 def test_resample_deterministic_and_ranked(frames):
     c, t = frames
     a = dsir.dsir_resample(c, t, k=4, seed=11).collect()
@@ -173,7 +208,15 @@ def test_sample_fraction_accepts_precomputed_ratios(frames):
         c, t, 0.5, seed=11, ratios=ratios
     ).collect()
     direct = dsir.dsir_sample_fraction(c, t, 0.5, seed=11).collect()
-    assert sorted(out) == sorted(direct)
+    # membership is md5-key-exact; log_ratio is a float sum whose
+    # addend order differs between the precomputed and inline plan
+    # shapes, so it may wobble by ulps — compare it approximately
+    out, direct = sorted(out), sorted(direct)
+    assert [(r["doc_id"], r["n_tokens"]) for r in out] == [
+        (r["doc_id"], r["n_tokens"]) for r in direct
+    ]
+    for a, b in zip(out, direct):
+        assert a["log_ratio"] == pytest.approx(b["log_ratio"], rel=1e-12)
 
 
 def test_bad_args(frames):

@@ -494,13 +494,26 @@ def test_evolve_isin_proof_via_distinct_witness(spark, ptable, tmp_path):
     assert _viols(spark, ck) == _viols(spark, ck_new)
 
 
-def test_witness_backfill_on_resume(spark, ptable, tmp_path):
+def test_witness_backfill_is_opt_in(spark, ptable, tmp_path):
     ck = str(tmp_path / "ck_bf")
     run_checkpointed_validation(
         spark, ptable, BASE(), ck, store_witnesses=False
     )
-    # resume with the flag: no partitions reprocess, witnesses backfill
+    # a PLAIN resume of a pre-witness checkpoint must stay a
+    # metadata-only no-op — backfilling would full-scan every completed
+    # partition (at 10^12 rows that is a surprise read of the whole
+    # table), so it never happens implicitly
     res = run_checkpointed_validation(spark, ptable, BASE(), ck)
+    assert res == {}
+    with open(os.path.join(ck, MANIFEST_NAME)) as fh:
+        man = Manifest.from_json(fh.read())
+    assert man.entries and all(
+        "witnesses" not in e.metrics for e in man.entries.values()
+    )
+    # the explicit opt-in performs the scans and stores the witnesses
+    res = run_checkpointed_validation(
+        spark, ptable, BASE(), ck, backfill_witnesses=True
+    )
     assert res == {}
     with open(os.path.join(ck, MANIFEST_NAME)) as fh:
         man = Manifest.from_json(fh.read())
@@ -510,3 +523,80 @@ def test_witness_backfill_on_resume(spark, ptable, tmp_path):
     # and a subsequent evolve can use them
     out = evolve_checkpointed_validation(spark, ptable, PLUS_PROVEN(), ck)
     assert sorted(out["proven"]) == sorted(out["upgraded"])
+
+
+def test_evolve_invalid_edit_raises_at_compile(spark, ptable, tmp_path):
+    """A fully-proven delta never reruns any partition — but an INVALID
+    edit must still fail exactly like a from-scratch run, so evolve
+    compiles the new set against the table schema up front (a TypeIs is
+    'proven' statically only because compile vouches for it)."""
+    from medea_ps_spark import errors as E
+
+    ck = str(tmp_path / "ck_bad")
+    run_checkpointed_validation(spark, ptable, BASE(), ck)
+    bad_type = _reg(
+        NotNull("nn_doc", "doc_id"),
+        SizeEquals("sz", "n_tok", "tokens"),
+        Unique("uniq_doc", "doc_id"),
+        TypeIs("ntok_str", "n_tok", types=("string",)),
+    )
+    with pytest.raises(E.ColumnTypeMismatch):
+        evolve_checkpointed_validation(spark, ptable, bad_type, ck)
+    bad_col = _reg(
+        NotNull("nn_doc", "doc_id"),
+        SizeEquals("sz", "n_tok", "tokens"),
+        Unique("uniq_doc", "doc_id"),
+        TypeIs("ghost", "no_such_column", types=("int",)),
+    )
+    with pytest.raises(E.UnknownColumn):
+        evolve_checkpointed_validation(spark, ptable, bad_col, ck)
+    # the failed attempts changed nothing: the old set still resumes
+    # as a no-op and a valid evolve still works
+    assert run_checkpointed_validation(spark, ptable, BASE(), ck) == {}
+    out = evolve_checkpointed_validation(spark, ptable, PLUS_PROVEN(), ck)
+    assert sorted(out["proven"]) == sorted(out["upgraded"])
+
+
+def test_array_size_predicates_config_independent(spark):
+    """NULL arrays pass ArrayLenBetween/SizeEquals/TupleRule under BOTH
+    sizeOfNull configs (the predicates null-guard F.size), so the
+    witness prover's NULL-exempt semantics are sound even under
+    spark.sql.legacy.sizeOfNull=true, where raw size(NULL) is -1."""
+    from medea_ps_spark.plans.constraints import TupleRule
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.StringType()),
+            T.StructField("tokens", T.ArrayType(T.IntegerType())),
+            T.StructField("n_tok", T.IntegerType()),
+        ]
+    )
+    df = spark.createDataFrame(
+        [("a", [1, 2], 2), ("b", None, None), ("c", None, 3)], schema
+    )
+    reg = _reg(
+        ArrayLenBetween("len", "tokens", 0, 5),
+        SizeEquals("sz", "n_tok", "tokens"),
+        TupleRule("tup", "tokens", positions=("true", "true")),
+    )
+    old = spark.conf.get("spark.sql.legacy.sizeOfNull", "false")
+    try:
+        for legacy in ("false", "true"):
+            spark.conf.set("spark.sql.legacy.sizeOfNull", legacy)
+            compiled = reg.compile(df.schema)
+            viols = (
+                V.all_violations(df, compiled, id_column="doc_id")
+                .select("doc_id", "constraint_id")
+                .collect()
+            )
+            # row c fails SizeEquals via the witness row (3 != size is
+            # unknowable: NULL array ⇒ NULL pred ⇒ pass); NULL arrays
+            # never violate the array constraints on either config
+            assert viols == [], f"legacy={legacy}: {viols}"
+            w = PR.collect_witnesses(df)
+            assert w["sizemin.tokens"] == 2.0 and w["sizemax.tokens"] == 2.0
+            assert PR.prove_zero_violations(
+                ArrayLenBetween("len2", "tokens", 0, 5), w
+            )
+    finally:
+        spark.conf.set("spark.sql.legacy.sizeOfNull", old)
