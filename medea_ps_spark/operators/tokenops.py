@@ -224,3 +224,154 @@ def token_repetition_stats(
         dup_frac(token_shingles(toks, 2)).alias("dup_bigram_frac"),
         dup_frac(token_shingles(toks, 3)).alias("dup_trigram_frac"),
     )
+
+
+def token_duplicate_spans_excess(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+    broadcast_dups: bool = True,
+) -> DataFrame:
+    """Like :func:`token_duplicate_spans`, but EXEMPTS, per duplicated
+    k-gram hash, its corpus-first occurrence (minimum ``(id_col, pos)``
+    — ``id_col`` must be orderable): the returned spans
+    ``(id_col, span_start, span_end, span_len)`` cover only the EXCESS
+    occurrences, so feeding them to :func:`remove_token_spans` is the
+    "keep one copy" dedup action of Lee et al. (ACL 2022) ExactSubstr.
+
+    Approximation note (documented, inherent to span merging): the
+    exempted occurrence is never the *cause* of a removal, but when a
+    neighbouring duplicated k-gram's excess span overlaps it inside the
+    same document, part of its tokens can still be removed. Per-k-gram
+    the guarantee is: a k-gram occurring n times contributes n-1 excess
+    start positions, never n.
+
+    Scale shape: one hash-only aggregation (16-byte digests + a
+    min-struct, count partial-agg'd map-side), the keeper relation is
+    exactly one row per duplicated hash and rides the same broadcast
+    switch as ``duplicated_positions``; token arrays never shuffle.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_count < 2:
+        raise ValueError(f"min_count must be >= 2, got {min_count}")
+    pos = _token_ngram_positions(df, tokens_col, id_col, k)
+    dup = (
+        pos.groupBy("_h")
+        .agg(
+            F.count(F.lit(1)).alias("_c"),
+            F.min(F.struct(F.col(id_col), F.col("pos"))).alias("_first"),
+        )
+        .where(F.col("_c") >= min_count)
+        .select(
+            "_h",
+            F.col(f"_first.{id_col}").alias("_kid"),
+            F.col("_first.pos").alias("_kpos"),
+        )
+    )
+    if broadcast_dups:
+        dup = F.broadcast(dup)
+    excess = (
+        pos.join(dup, "_h")
+        .where(
+            ~((F.col(id_col) == F.col("_kid")) & (F.col("pos") == F.col("_kpos")))
+        )
+        .select(id_col, "pos")
+    )
+    return merge_duplicate_positions(excess, id_col, k)
+
+
+def remove_token_spans(
+    df: DataFrame,
+    spans: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    start_col: str = "span_start",
+    end_col: str = "span_end",
+    n_tok_col: str | None = "n_tok",
+    removed_col: str = "removed_tokens",
+) -> DataFrame:
+    """Rewrite each sequence's token array with the given spans deleted
+    — the ACTION half of ExactSubstr dedup (detection lives in
+    :func:`token_duplicate_spans` / :func:`token_duplicate_spans_excess`).
+
+    ``spans`` is ``(id_col, start_col, end_col)`` with 0-based INCLUSIVE
+    bounds (the detectors' output shape). Overlapping spans union;
+    positions outside the array match nothing. Rows without spans pass
+    through unchanged. Output = input columns with ``tokens_col``
+    rewritten, ``n_tok_col`` (when present/named) recomputed, plus an
+    int ``removed_col`` count (0 for untouched rows).
+
+    Scale shape: spans group to ONE array per document (documents are
+    bounded, so the per-key list is bounded — no celebrity-key risk on
+    a primary key), then one keyed equi-join against the corpus and a
+    purely map-side rewrite: filter/transform over an index sequence is
+    a single codegen'd Project, token arrays shuffle at most once (the
+    join), never per-position.
+    """
+    per_doc = spans.groupBy(id_col).agg(
+        F.collect_list(
+            F.struct(
+                F.col(start_col).cast("int").alias("s"),
+                F.col(end_col).cast("int").alias("e"),
+            )
+        ).alias("_spans")
+    )
+    toks = F.col(tokens_col)
+    n = F.size(toks)
+    kept_idx = F.filter(
+        F.sequence(F.lit(0), n - 1),
+        lambda i: ~F.exists(
+            F.col("_spans"), lambda sp: (sp["s"] <= i) & (i <= sp["e"])
+        ),
+    )
+    rewritten = F.when(
+        F.col("_spans").isNull() | toks.isNull() | (n <= 0), toks
+    ).otherwise(F.transform(kept_idx, lambda i: F.element_at(toks, i + 1)))
+    out = (
+        df.join(per_doc, id_col, "left")
+        .withColumn("_new_tokens", rewritten)
+        .withColumn(
+            removed_col,
+            F.coalesce(
+                F.size(toks) - F.size(F.col("_new_tokens")), F.lit(0)
+            ).cast("int"),
+        )
+        .withColumn(tokens_col, F.col("_new_tokens"))
+        .drop("_spans", "_new_tokens")
+    )
+    if n_tok_col and n_tok_col in df.columns:
+        out = out.withColumn(
+            n_tok_col,
+            F.coalesce(F.size(F.col(tokens_col)), F.lit(0)).cast("int"),
+        )
+    return out
+
+
+def dedup_token_spans(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    k: int = 8,
+    min_count: int = 2,
+    broadcast_dups: bool = True,
+    n_tok_col: str | None = "n_tok",
+) -> DataFrame:
+    """ExactSubstr dedup end-to-end (Lee et al. ACL 2022, token domain):
+    detect excess duplicated spans with the corpus-first occurrence
+    exempted (:func:`token_duplicate_spans_excess`) and delete them
+    (:func:`remove_token_spans`). Deterministic and layout-independent:
+    the keeper is min ``(id_col, pos)``, never partition order."""
+    ex = token_duplicate_spans_excess(
+        df,
+        tokens_col=tokens_col,
+        id_col=id_col,
+        k=k,
+        min_count=min_count,
+        broadcast_dups=broadcast_dups,
+    )
+    return remove_token_spans(
+        df, ex, tokens_col=tokens_col, id_col=id_col, n_tok_col=n_tok_col
+    )
