@@ -850,24 +850,45 @@ def q_token_contamination(spark, sf_dir):
     )
 
 
-def q_token_dup_spans(spark, sf_dir):
-    """Token-native ExactSubstr duplicate-span stats (Lee et al. ACL
-    2022, hashed-8-gram approximation; operators/tokenops.py) over the
-    sequence fixture plus a deterministically planted duplicated slice
-    (md5(doc_id) LIKE '0%' rows re-id'd '~dup' — the fixture's own
-    doc_id dups carry different arrays, so real content duplication
-    must be planted). Emits per-row span coverage for duplicated rows
-    only; one 16-byte-hash shuffle + broadcast dup probe + per-doc
-    window."""
-    from medea_ps_spark.operators.tokenops import token_duplicate_span_stats
+def q_token_span_dedup(spark, sf_dir):
+    """Token-native ExactSubstr dedup END TO END (Lee et al. ACL 2022;
+    operators/tokenops.dedup_token_spans): detect duplicated 8-gram
+    spans, exempt each gram's corpus-first occurrence (min (doc_id,
+    pos)), DELETE the excess spans from the token arrays — detection,
+    keep-first exemption, islands merge and the expression-only rewrite
+    all under one oracle. Corpus = the sequence fixture restricted to
+    unique doc_ids (the fixture's id dups carry different arrays, which
+    makes pooled-span removal ill-defined) plus a deterministically
+    planted duplicated slice (md5(doc_id) LIKE '0%' rows re-id'd
+    '~dup'). Emits every row's post-dedup length, removed count and an
+    md5 of the rewritten array, pinning exact content. Replaces the
+    r5-s6 `token_dup_spans` detection-stats row — detection keeps its
+    DuckDB parity check in tests/test_tokenops.py and still executes
+    inside this query."""
+    from pyspark.sql import Window
+
+    from medea_ps_spark.operators.tokenops import dedup_token_spans
 
     base = spark.read.parquet(SEQ_FIXTURE)
-    planted = base.where(
+    uniq = (
+        base.withColumn(
+            "_c", F.count(F.lit(1)).over(Window.partitionBy("doc_id"))
+        )
+        .where(F.col("_c") == 1)
+        .select("doc_id", "tokens")
+    )
+    planted = uniq.where(
         F.md5("doc_id").like("0%") & (F.size("tokens") >= 8)
     ).withColumn("doc_id", F.concat("doc_id", F.lit("~dup")))
-    corpus = base.unionByName(planted)
-    return token_duplicate_span_stats(corpus, k=8).where(
-        F.col("dup_tokens") > 0
+    corpus = uniq.unionByName(planted)
+    out = dedup_token_spans(corpus, k=8, n_tok_col=None)
+    return out.select(
+        "doc_id",
+        F.coalesce(F.size("tokens"), F.lit(0)).cast("int").alias("n_tok_after"),
+        F.col("removed_tokens"),
+        F.md5(
+            F.concat_ws(",", F.col("tokens").cast("array<string>"))
+        ).alias("tok_md5"),
     )
 
 
@@ -1331,6 +1352,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     violation-exemplar sink (capped md5-keyed exemplars + exact
     per-constraint totals in one shuffle) under the oracle.
 
+    Round-5 session 11 upgraded token_dup_spans → token_span_dedup:
+    the detection-stats row became the full keep-first ExactSubstr
+    DEDUP (detection + corpus-first exemption + islands merge + the
+    expression-only array rewrite, operators/tokenops.py) — detection
+    still executes inside the query and keeps its own DuckDB parity
+    test in test_tokenops.py.
+
     Round-5 session 8 folded mixture_sample → validate_estimate: the
     estimator's sample membership is the SAME keep_predicate md5-hex
     coordinate mixture_sample verified, so the deterministic-sampling
@@ -1379,7 +1407,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_props_health": q_events_props_health,
         "events_user_skew": q_events_user_skew,
         "token_contamination": q_token_contamination,
-        "token_dup_spans": q_token_dup_spans,
+        "token_span_dedup": q_token_span_dedup,
         "text_lm_score": q_text_lm_score,
         "seq_validation": q_seq_validation,
         "seq_token_histogram": q_seq_token_histogram,
@@ -2158,12 +2186,14 @@ def oracle_sql() -> dict[str, str]:
             SELECT d.doc_id, d.source, h.n_contaminated_shingles
             FROM read_parquet('{SEQ_FIXTURE}') d JOIN hits h USING (doc_id)
         """,
-        "token_dup_spans": f"""
-            WITH corpus AS (
+        "token_span_dedup": f"""
+            WITH uniq AS (
               SELECT doc_id, tokens FROM read_parquet('{SEQ_FIXTURE}')
+              QUALIFY count(*) OVER (PARTITION BY doc_id) = 1
+            ), corpus AS (
+              SELECT doc_id, tokens FROM uniq
               UNION ALL
-              SELECT doc_id || '~dup', tokens
-              FROM read_parquet('{SEQ_FIXTURE}')
+              SELECT doc_id || '~dup', tokens FROM uniq
               WHERE md5(doc_id) LIKE '0%' AND len(tokens) >= 8
             ), pos AS (
               SELECT doc_id, u.pos, u.g FROM (
@@ -2176,33 +2206,47 @@ def oracle_sql() -> dict[str, str]:
                 FROM corpus)
             ), dup AS (
               SELECT g FROM pos GROUP BY g HAVING count(*) >= 2
-            ), flagged AS (
-              SELECT doc_id, pos,
-                     CASE WHEN lag(pos) OVER w IS NULL
-                            OR pos - lag(pos) OVER w > 8
-                          THEN 1 ELSE 0 END AS newflag
-              FROM (SELECT doc_id, pos FROM pos JOIN dup USING (g))
-              WINDOW w AS (PARTITION BY doc_id ORDER BY pos)
-            ), spans AS (
-              SELECT doc_id, max(pos) - min(pos) + 8 AS span_len
-              FROM (SELECT doc_id, pos,
-                           sum(newflag) OVER (PARTITION BY doc_id
-                                              ORDER BY pos) AS span_id
-                    FROM flagged)
-              GROUP BY doc_id, span_id
-            ), spanstats AS (
-              SELECT doc_id, CAST(count(*) AS INT) AS n_spans,
-                     CAST(sum(span_len) AS INT) AS dup_tokens
-              FROM spans GROUP BY doc_id
+            ),
+            -- excess = every occurrence but the corpus-first (keeper =
+            -- min (doc_id, pos) per duplicated gram)
+            excess AS (
+              SELECT doc_id, pos FROM (
+                SELECT doc_id, pos,
+                       row_number() OVER (PARTITION BY g
+                                          ORDER BY doc_id, pos) AS rn
+                FROM pos JOIN dup USING (g))
+              WHERE rn > 1
+            ),
+            -- covered token positions: union of [pos, pos+7] — the
+            -- islands merge produces exactly this set, so the oracle
+            -- skips the merge and unions intervals directly
+            covered AS (
+              SELECT DISTINCT doc_id, pos + d AS p
+              FROM excess, range(0, 8) AS r(d)
+            ), tokpos AS (
+              SELECT doc_id, u.i, u.t FROM (
+                SELECT doc_id,
+                       unnest(list_transform(
+                         range(1, coalesce(len(tokens), 0) + 1),
+                         i -> {{'i': i-1, 't': tokens[i]}})) AS u
+                FROM corpus)
+            ), kept AS (
+              SELECT tp.doc_id, tp.i, tp.t
+              FROM tokpos tp LEFT JOIN covered c
+                ON tp.doc_id = c.doc_id AND tp.i = c.p
+              WHERE c.doc_id IS NULL
+            ), newtok AS (
+              SELECT doc_id, list(t ORDER BY i) AS toks,
+                     count(*) AS n
+              FROM kept GROUP BY doc_id
             )
-            SELECT t.doc_id,
-                   CAST(coalesce(len(t.tokens), 0) AS INT) AS n_tok,
-                   s.n_spans, s.dup_tokens,
-                   CASE WHEN coalesce(len(t.tokens), 0) = 0 THEN 0.0
-                        ELSE round(CAST(s.dup_tokens AS DOUBLE)
-                                   / len(t.tokens), 6)
-                   END AS dup_frac
-            FROM corpus t JOIN spanstats s USING (doc_id)
+            SELECT c.doc_id,
+                   CAST(coalesce(n.n, 0) AS INT) AS n_tok_after,
+                   CAST(coalesce(len(c.tokens), 0) - coalesce(n.n, 0)
+                        AS INT) AS removed_tokens,
+                   md5(coalesce(array_to_string(n.toks, ','), ''))
+                     AS tok_md5
+            FROM corpus c LEFT JOIN newtok n USING (doc_id)
         """,
         "text_lm_score": """
             WITH t0 AS (

@@ -313,7 +313,7 @@ def bench_queries(spark) -> dict:
         "text_lm_score",
         # round-5 operators
         "table_diff", "quality_model", "dedup_incremental",
-        "token_contamination", "token_dup_spans",
+        "token_contamination", "token_span_dedup",
         "validate_violations_sample", "dsir_resample",
     ]
     qs = em.queries()
