@@ -164,7 +164,16 @@ def test_resample_deterministic_and_ranked(frames):
     c, t = frames
     a = dsir.dsir_resample(c, t, k=4, seed=11).collect()
     b = dsir.dsir_resample(c, t, k=4, seed=11).collect()
-    assert a == b
+    # selection (ids, ranks, counts) is exactly deterministic; log_ratio
+    # is a float SUM whose partial-agg merge order can differ between
+    # two executions of the same plan (last-ulp wobble observed on this
+    # host) — compare it approximately, everything else exactly, same
+    # convention as test_sample_fraction_* (r5 s10)
+    assert [r["rank"] for r in a] == [r["rank"] for r in b]
+    assert [r["doc_id"] for r in a] == [r["doc_id"] for r in b]
+    assert [r["n_tokens"] for r in a] == [r["n_tokens"] for r in b]
+    for ra, rb in zip(a, b):
+        assert ra["log_ratio"] == pytest.approx(rb["log_ratio"], rel=1e-12)
     assert [r["rank"] for r in sorted(a, key=lambda r: r["rank"])] == [
         1, 2, 3, 4,
     ]
