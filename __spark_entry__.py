@@ -742,19 +742,37 @@ def q_quality_model(spark, sf_dir):
 
 
 def q_text_lm_score(spark, sf_dir):
-    """Unigram-LM quality scoring (operators/lmscore.py) — the
-    perplexity-proxy filter of CCNet-style pipelines, self-scored over
-    the documents corpus. Laplace-smoothed bits/token + ppl are exact
-    rationals through log2/avg, so the whole scorer reproduces in
-    DuckDB to 4 decimals."""
-    from medea_ps_spark.operators.lmscore import unigram_lm_scores
+    """Unigram + interpolated-bigram LM quality scoring
+    (operators/lmscore.py) — the perplexity-proxy filter of
+    CCNet-style pipelines, self-scored over the documents corpus.
+    Round-5 session 12 folded the new order-2 scorer INTO this row
+    (same composition pattern as token_span_dedup): both scorers run
+    side by side and the DuckDB twin reproduces the transition
+    extraction (zip of adjacent slices), the per-context proper
+    distribution, and the lam-interpolated probability term-for-term.
+    Laplace-smoothed bits/token + ppl are exact rationals through
+    log2/avg, so both scorers reproduce in DuckDB to 4 decimals.
+    Docs with < 2 terms have no transitions: NULL bigram columns."""
+    from medea_ps_spark.operators.lmscore import (
+        bigram_lm_scores,
+        unigram_lm_scores,
+    )
 
     df = _docs(spark, sf_dir)
-    out = unigram_lm_scores(df, "text", "doc_id", alpha=1.0)
-    return out.select(
+    uni = unigram_lm_scores(df, "text", "doc_id", alpha=1.0)
+    bi = bigram_lm_scores(
+        df, "text", "doc_id", alpha=1.0, lam=0.75
+    ).select(
+        "doc_id",
+        "n_transitions",
+        F.round("bits_per_token", 4).alias("bi_bits_per_token"),
+        F.round("ppl", 3).alias("bi_ppl"),
+    )
+    return uni.join(bi, on="doc_id", how="left").select(
         "doc_id", "n_tokens",
         F.round("bits_per_token", 4).alias("bits_per_token"),
         F.round("ppl", 3).alias("ppl"),
+        "n_transitions", "bi_bits_per_token", "bi_ppl",
     )
 
 
@@ -2249,13 +2267,14 @@ def oracle_sql() -> dict[str, str]:
             FROM corpus c LEFT JOIN newtok n USING (doc_id)
         """,
         "text_lm_score": """
-            WITH t0 AS (
+            WITH norm AS (
               SELECT doc_id,
-                     unnest(string_split(
-                       trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '
-                     )) AS word
+                     trim(regexp_replace(text, '\\s+', ' ', 'g')) AS t
               FROM documents
-              WHERE length(trim(regexp_replace(text, '\\s+', ' ', 'g'))) > 0
+            ),
+            t0 AS (
+              SELECT doc_id, unnest(string_split(t, ' ')) AS word
+              FROM norm WHERE length(t) > 0
             ),
             -- mirror the engine's pre-aggregated scoring join (VERDICT
             -- r4 #4): distinct (doc, word) pairs with local counts, a
@@ -2281,11 +2300,59 @@ def oracle_sql() -> dict[str, str]:
                        / sum(k)) AS bits
               FROM t JOIN freq f USING (word), tot
               GROUP BY doc_id
+            ),
+            -- interpolated bigram (lmscore.bigram_lm_scores): the
+            -- transition stream is the zip of adjacent slices, the
+            -- scoring join input is pre-aggregated (doc, w1, w2)
+            -- pairs, p_bi is a proper per-context distribution
+            -- (context totals summed from the bigram table), and
+            -- p = lam*p_bi + (1-lam)*p_uni with lam = 0.75
+            bw AS (
+              SELECT doc_id, string_split(t, ' ') AS ws
+              FROM norm WHERE length(t) > 0
+            ),
+            btr AS (
+              SELECT doc_id,
+                     unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)]))
+                       AS tr
+              FROM bw
+            ),
+            bp AS (
+              SELECT doc_id, tr[1] AS w1, tr[2] AS w2,
+                     CAST(count(*) AS BIGINT) AS k
+              FROM btr GROUP BY doc_id, tr[1], tr[2]
+            ),
+            bfreq AS (
+              SELECT w1, w2, CAST(sum(k) AS BIGINT) AS n
+              FROM bp GROUP BY w1, w2
+            ),
+            ctx AS (
+              SELECT w1, CAST(sum(n) AS BIGINT) AS cc
+              FROM bfreq GROUP BY w1
+            ),
+            bsc AS (
+              SELECT bp.doc_id,
+                     CAST(sum(bp.k) AS BIGINT) AS n_transitions,
+                     -(sum(bp.k * log2(
+                         0.75 * ((coalesce(bf.n, 0) + 1.0)
+                                 / (coalesce(cx.cc, 0)
+                                    + 1.0 * (tot.V + 1)))
+                       + 0.25 * ((coalesce(f2.n, 0) + 1.0)
+                                 / (tot.N + 1.0 * (tot.V + 1)))
+                       )) / sum(bp.k)) AS bbits
+              FROM bp
+              LEFT JOIN bfreq bf ON bp.w1 = bf.w1 AND bp.w2 = bf.w2
+              LEFT JOIN ctx cx ON bp.w1 = cx.w1
+              LEFT JOIN freq f2 ON bp.w2 = f2.word, tot
+              GROUP BY bp.doc_id
             )
-            SELECT doc_id, n_tokens,
-                   round(bits, 4) AS bits_per_token,
-                   round(pow(2.0, bits), 3) AS ppl
-            FROM sc
+            SELECT sc.doc_id, sc.n_tokens,
+                   round(sc.bits, 4) AS bits_per_token,
+                   round(pow(2.0, sc.bits), 3) AS ppl,
+                   bsc.n_transitions,
+                   round(bsc.bbits, 4) AS bi_bits_per_token,
+                   round(pow(2.0, bsc.bbits), 3) AS bi_ppl
+            FROM sc LEFT JOIN bsc ON sc.doc_id = bsc.doc_id
         """,
         "seq_validation": f"""
             WITH t AS (
