@@ -187,6 +187,292 @@ def repeat_mixture(
     )
 
 
+def _budget_case(
+    budgets: Dict[str, int], strat_col: str, default_budget: int
+) -> Column:
+    """Per-row token budget as one case expression (bigint)."""
+    col = F.lit(int(default_budget)).cast("bigint")
+    for value, b in sorted(budgets.items()):
+        col = (
+            F.when(F.col(strat_col) == value, F.lit(int(b)).cast("bigint"))
+            .otherwise(col)
+        )
+    return col
+
+
+def _shard_ledger(
+    df: DataFrame,
+    strat_col: str,
+    key_col: str,
+    n_tok_col: str,
+    seed: int,
+    shard_chars: int,
+) -> Dict[object, list]:
+    """Driver-side shard ledger for the token-budget sampler: one
+    bounded aggregate — |strata| x 16^shard_chars rows, never data
+    rows — of per-(stratum, shard) token sums, returned as
+    {stratum: [(shard, sum)] sorted by shard}. Lexicographic shard
+    order == numeric order (fixed-width lowercase md5 hex — the house
+    trick), so a prefix scan over each stratum's list yields every
+    shard's exclusive token offset in the stratum's global sample
+    order."""
+    if not 1 <= shard_chars <= 8:
+        raise ValueError(f"shard_chars must be in [1,8], got {shard_chars}")
+    sums = (
+        df.select(
+            F.col(strat_col).alias("_strat"),
+            F.substring(
+                hash_bucket(F.col(key_col), seed), 1, shard_chars
+            ).alias("_shard"),
+            F.col(n_tok_col).cast("bigint").alias("_n_tok"),
+        )
+        .groupBy("_strat", "_shard")
+        .agg(F.sum("_n_tok").alias("_sum"))
+        .collect()
+    )
+    per_strat: Dict[object, list] = {}
+    for r in sums:
+        per_strat.setdefault(r["_strat"], []).append(
+            (r["_shard"], r["_sum"] or 0)
+        )
+    return {s: sorted(shards) for s, shards in per_strat.items()}
+
+
+def _check_budgets(budgets: Dict[str, int], default_budget: int) -> None:
+    for s, b in budgets.items():
+        if b < 0:
+            raise ValueError(f"budget for {s!r} must be >= 0, got {b}")
+    if default_budget < 0:
+        raise ValueError(f"default_budget must be >= 0, got {default_budget}")
+
+
+def _classify_shards(
+    ledger: Dict[object, list],
+    budgets: Dict[str, int],
+    default_budget: int,
+):
+    """Classify every (stratum, shard) against the stratum's budget:
+
+    * keep — offset + shard_sum < budget: every row's tokens-before is
+      strictly below the budget, the whole shard is selected with NO
+      per-row cumsum;
+    * drop — offset >= budget: no row can be selected;
+    * boundary — the (usually single) shard per stratum where the
+      running total crosses the budget; only these rows need the
+      within-shard window.
+
+    Returns (keep_pairs, boundary) with boundary = {(strat, shard): offset}.
+    """
+    keep_pairs: list = []
+    boundary: Dict[tuple, int] = {}
+    for strat, shards in ledger.items():
+        budget = (
+            budgets.get(strat, default_budget)
+            if strat is not None
+            else default_budget
+        )
+        offset = 0
+        for shard, ssum in shards:
+            if offset + ssum < budget:
+                keep_pairs.append((strat, shard))
+            elif offset >= budget:
+                pass  # fully dropped
+            else:
+                boundary[(strat, shard)] = offset
+            offset += ssum
+    return keep_pairs, boundary
+
+
+def token_budget_assignments(
+    df: DataFrame,
+    budgets: Dict[str, int],
+    strat_col: str = "source",
+    key_col: str = "doc_id",
+    n_tok_col: str = "n_tok",
+    seed: int = 42,
+    shard_chars: int = 2,
+    default_budget: int = 0,
+) -> DataFrame:
+    """Audit view of the token-budget mixture sampler: every input row
+    with its deterministic sample coordinate, exact exclusive running
+    token count (``tok_before``) within its stratum, and the
+    ``selected`` verdict (``tok_before < budget`` — documents are taken
+    in md5-coordinate order until the budget is consumed; the document
+    that CROSSES the budget is included, so selected tokens are >= the
+    budget whenever the stratum has enough).
+
+    Scale design — the naive version is a running sum over ONE window
+    per stratum, i.e. a single task holding a whole web-scale domain.
+    Instead the md5 coordinate's first ``shard_chars`` hex chars shard
+    each stratum into 16^c independent runs (packing.py's pattern);
+    per-shard token sums are a bounded aggregate, their lexicographic
+    prefix (driver-side, |strata| x 16^c entries) broadcasts back as
+    each shard's exclusive offset, and the per-row cumsum window
+    partitions by (stratum, shard) — no window ever sees more than
+    ~n/16^c rows. At 10^12 rows pick shard_chars=4-5.
+
+    Determinism: selection is a pure function of (key, n_tok, seed) —
+    layout-independent, rerun-stable, and NESTED across budgets (the
+    50B-token sample is a strict prefix of the 100B one at the same
+    seed). Rows with NULL ``n_tok`` are never selected (they cannot be
+    budgeted); NULL strata fall to ``default_budget``. Everything is
+    md5-hex + window arithmetic: bit-identical in DuckDB, so the
+    operator is SQL-oracle-able.
+    """
+    from pyspark.sql import Window
+
+    _check_budgets(budgets, default_budget)
+    ledger = _shard_ledger(
+        df, strat_col, key_col, n_tok_col, seed, shard_chars
+    )
+    # exact exclusive offset for EVERY shard (the audit view reports
+    # the true tok_before everywhere; token_budget_sample() below is
+    # the plan that skips the window for decided shards)
+    offs_rows = []
+    for strat, shards in ledger.items():
+        off = 0
+        for shard, ssum in shards:
+            offs_rows.append((strat, shard, off))
+            off += ssum
+    spark = df.sparkSession
+    offs_df = spark.createDataFrame(
+        offs_rows, schema="_off_strat string, _off_shard string, _off bigint"
+    )
+    tagged = df.withColumn(
+        "sample_coord", hash_bucket(F.col(key_col), seed)
+    ).withColumn("sample_shard", F.substring("sample_coord", 1, shard_chars))
+    joined = tagged.join(
+        F.broadcast(offs_df),
+        tagged[strat_col].eqNullSafe(offs_df["_off_strat"])
+        & (tagged["sample_shard"] == offs_df["_off_shard"]),
+    ).drop("_off_strat", "_off_shard")
+    w = (
+        Window.partitionBy(strat_col, "sample_shard")
+        .orderBy("sample_coord", key_col, F.col(n_tok_col).cast("bigint"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    running = F.sum(F.col(n_tok_col).cast("bigint")).over(w)
+    budget = _budget_case(budgets, strat_col, default_budget)
+    return (
+        joined.withColumn(
+            "tok_before",
+            F.col("_off") + running - F.col(n_tok_col).cast("bigint"),
+        )
+        .withColumn("selected", F.col("tok_before") < budget)
+        .drop("_off")
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: Dict[str, int],
+    strat_col: str = "source",
+    key_col: str = "doc_id",
+    n_tok_col: str = "n_tok",
+    seed: int = 42,
+    shard_chars: int = 2,
+    default_budget: int = 0,
+) -> DataFrame:
+    """Token-budget mixture sampling — "give me 50B tokens of web,
+    30B of books, all of wiki" — the unit real pretraining mixtures are
+    specified in (docs are variable-length; a doc-rate mixture misses
+    token targets by whatever the length distribution does that day).
+    Selects documents per stratum in deterministic md5-coordinate order
+    until the stratum's token budget is consumed (the crossing document
+    is included); strata absent from ``budgets`` get
+    ``default_budget`` (0 = dropped — a mixture is a statement of what
+    you want, not a default keep).
+
+    Plan (the reason this isn't just ``token_budget_assignments`` +
+    filter): the driver-side shard ledger classifies every
+    (stratum, shard) as fully-kept / fully-dropped / boundary, so
+
+    * fully-kept shards pass through a broadcast LEFT SEMI join — a
+      map-side hash probe, NO shuffle, NO window — and that is ~all of
+      the selected data (boundary shards are 1/16^c of each stratum);
+    * only boundary-shard rows (one shard per stratum in the common
+      case) pay the within-shard cumsum window, whose partition is
+      bounded by the shard size.
+
+    The union costs a second scan of the source relation (the shard
+    predicate is a computed md5 column, so it cannot prune parquet),
+    but at 100 TB a second columnar scan is far cheaper than the
+    alternative — a full-table shuffle into window partitions. Output
+    is exactly the ``selected`` rows of :func:`token_budget_assignments`
+    (proven bit-identical in tests), with the original schema.
+    """
+    from pyspark.sql import Window
+
+    _check_budgets(budgets, default_budget)
+    ledger = _shard_ledger(
+        df, strat_col, key_col, n_tok_col, seed, shard_chars
+    )
+    keep_pairs, boundary = _classify_shards(ledger, budgets, default_budget)
+    spark = df.sparkSession
+    cols = df.columns
+    coord = hash_bucket(F.col(key_col), seed)
+    # a NULL token count cannot be budgeted — such rows are never
+    # selected (matches token_budget_assignments, whose NULL tok_before
+    # fails the < budget predicate); filtered here so the interior
+    # branch agrees with the window branch
+    tagged = (
+        df.where(F.col(n_tok_col).isNotNull())
+        .withColumn("_coord", coord)
+        .withColumn("_shard", F.substring("_coord", 1, shard_chars))
+    )
+    empty = spark.createDataFrame([], df.schema)
+
+    if keep_pairs:
+        keep_df = spark.createDataFrame(
+            keep_pairs, schema=f"{strat_col} string, _shard string"
+        )
+        interior = tagged.join(
+            F.broadcast(keep_df),
+            [tagged[strat_col].eqNullSafe(keep_df[strat_col]),
+             tagged["_shard"] == keep_df["_shard"]],
+            "leftsemi",
+        ).select(*cols)
+    else:
+        interior = empty
+
+    if boundary:
+        b_pred = F.lit(False)
+        offset = F.lit(0).cast("bigint")
+        for (strat, shard), off in sorted(
+            boundary.items(), key=lambda kv: (str(kv[0][0]), kv[0][1])
+        ):
+            cond = (
+                F.col(strat_col).isNull()
+                if strat is None
+                else (F.col(strat_col) == strat)
+            ) & (F.col("_shard") == shard)
+            b_pred = b_pred | cond
+            offset = F.when(
+                cond, F.lit(int(off)).cast("bigint")
+            ).otherwise(offset)
+        w = (
+            Window.partitionBy(strat_col, "_shard")
+            .orderBy("_coord", key_col, F.col(n_tok_col).cast("bigint"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        budget = _budget_case(budgets, strat_col, default_budget)
+        bnd = (
+            tagged.where(b_pred)
+            .withColumn(
+                "_tok_before",
+                offset
+                + F.sum(F.col(n_tok_col).cast("bigint")).over(w)
+                - F.col(n_tok_col).cast("bigint"),
+            )
+            .where(F.col("_tok_before") < budget)
+            .select(*cols)
+        )
+    else:
+        bnd = empty
+
+    return interior.unionByName(bnd)
+
+
 def stratified_exact_sample(
     df: DataFrame,
     n_per_stratum: int,
