@@ -482,6 +482,32 @@ def q_embedding_dedup_clusters(spark, sf_dir):
     )
 
 
+def q_token_budget_sample(spark, sf_dir):
+    """Token-budget mixture sampling over the tokenized-sequence
+    fixture — "60k tokens of web-2025, 25k of books, 15k of code, all
+    of wiki, drop the rest": documents are selected per source in
+    deterministic md5-coordinate order until the source's token budget
+    is consumed (the crossing doc included), the unit real pretraining
+    mixtures are specified in. The executed plan is the boundary-branch
+    one (operators/sampling.py:token_budget_sample): fully-kept shards
+    pass a broadcast LEFT SEMI join with NO window; only the one
+    boundary shard per source pays the within-shard cumsum — no
+    full-table shuffle. The oracle reproduces the selection with a
+    global per-source window cumsum; fixed-width lowercase md5-hex
+    order == numeric order in both engines, so membership matches
+    bit-for-bit."""
+    from medea_ps_spark.operators.sampling import token_budget_sample
+
+    df = spark.read.parquet(SEQ_FIXTURE)
+    budgets = {
+        "web-2025": 60_000, "books": 25_000, "code": 15_000,
+        "wiki": 10**9,
+    }
+    return token_budget_sample(df, budgets, shard_chars=2).select(
+        "source", "doc_id", "n_tok"
+    )
+
+
 def q_text_token_stats(spark, sf_dir):
     from medea_ps_spark.functions.text import token_count
 
@@ -1389,7 +1415,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     grouped plan gate test_events_top_users_is_two_phase_topk still
     calls q_events_top_users directly), and dsir_resample additionally
     puts the unigram-profile ratio weighting and the md5-lane Gumbel
-    draw under the oracle."""
+    draw under the oracle.
+
+    Round-5 session 13 folded embedding_dedup_clusters →
+    token_budget_sample: the CC clustering it exercised stays
+    driver-covered by dedup_cluster_canon (same pointer-doubling
+    operator) and the cosine pair source by embedding_near_dups;
+    the composition itself stays covered by test_semdedup /
+    test_dedup_cluster (q_embedding_dedup_clusters remains callable).
+    The incoming row puts the token-budget mixture sampler's sharded
+    prefix-sum selection under the oracle."""
     return {
         "validate_violations": q_validate_violations,
         "validate_verdicts": q_validate_verdicts,
@@ -1412,7 +1447,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "embedding_near_dups": q_embedding_near_dups,
-        "embedding_dedup_clusters": q_embedding_dedup_clusters,
+        "token_budget_sample": q_token_budget_sample,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
         "text_en_markers": q_text_en_markers,
@@ -1961,26 +1996,26 @@ def oracle_sql() -> dict[str, str]:
         """,
         "ann_lsh": _ann_lsh_sql(),
         "ann_ivf": _ann_ivf_sql(),
-        "embedding_dedup_clusters": f"""
-            WITH RECURSIVE pairs AS (
-              SELECT a.vec_id AS id_a, b.vec_id AS id_b
-              FROM (SELECT * FROM embeddings WHERE vec_id < 200) a
-              JOIN (SELECT * FROM embeddings WHERE vec_id < 200) b
-                ON a.vec_id < b.vec_id
-              WHERE {_COS} >= 0.25
-            ),
-            bidir AS (
-              SELECT id_a AS a, id_b AS b FROM pairs
-              UNION
-              SELECT id_b AS a, id_a AS b FROM pairs
-            ),
-            reach(a, b) AS (
-              SELECT a, b FROM bidir
-              UNION
-              SELECT r.a, e.b FROM reach r JOIN bidir e ON r.b = e.a
+        "token_budget_sample": f"""
+            WITH cum AS (
+              SELECT source, doc_id, n_tok,
+                     sum(CAST(n_tok AS BIGINT)) OVER (
+                         PARTITION BY source
+                         ORDER BY substr(md5(concat_ws(':', doc_id, '42')),
+                                         1, 8),
+                                  doc_id, CAST(n_tok AS BIGINT)
+                         ROWS UNBOUNDED PRECEDING)
+                       - CAST(n_tok AS BIGINT) AS tok_before
+              FROM read_parquet('{SEQ_FIXTURE}')
+              WHERE n_tok IS NOT NULL
             )
-            SELECT a AS node, least(a, min(b)) AS component
-            FROM reach GROUP BY a
+            SELECT source, doc_id, n_tok FROM cum
+            WHERE tok_before < CASE source
+                WHEN 'web-2025' THEN 60000
+                WHEN 'books' THEN 25000
+                WHEN 'code' THEN 15000
+                WHEN 'wiki' THEN 1000000000
+                ELSE 0 END
         """,
         "text_token_stats": f"""
             SELECT lang, CAST(sum({_NTOK}) AS BIGINT) AS total_tokens,

@@ -315,6 +315,7 @@ def bench_queries(spark) -> dict:
         "table_diff", "quality_model", "dedup_incremental",
         "token_contamination", "token_span_dedup",
         "validate_violations_sample", "dsir_resample",
+        "token_budget_sample",
     ]
     qs = em.queries()
     out = {}
