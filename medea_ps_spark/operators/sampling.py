@@ -218,6 +218,16 @@ def _shard_ledger(
     order."""
     if not 1 <= shard_chars <= 8:
         raise ValueError(f"shard_chars must be in [1,8], got {shard_chars}")
+    from pyspark.sql.types import StringType
+
+    if not isinstance(df.schema[strat_col].dataType, StringType):
+        # the driver-built ledger/keep frames are string-typed; a
+        # non-string stratum would coerce in the join and silently
+        # mismatch — refuse instead
+        raise TypeError(
+            f"{strat_col!r} must be a string column, got "
+            f"{df.schema[strat_col].dataType.simpleString()}"
+        )
     sums = (
         df.select(
             F.col(strat_col).alias("_strat"),
@@ -227,9 +237,18 @@ def _shard_ledger(
             F.col(n_tok_col).cast("bigint").alias("_n_tok"),
         )
         .groupBy("_strat", "_shard")
-        .agg(F.sum("_n_tok").alias("_sum"))
+        .agg(F.sum("_n_tok").alias("_sum"), F.min("_n_tok").alias("_min"))
         .collect()
     )
+    # a negative token count would make the stratum's running sum
+    # non-monotone, which unsounds the keep/drop shard classification
+    # (a 'drop' shard could dip back under the budget) — the min rides
+    # the same aggregate, so the guard costs nothing
+    neg = [r["_strat"] for r in sums if r["_min"] is not None and r["_min"] < 0]
+    if neg:
+        raise ValueError(
+            f"negative {n_tok_col} values in strata {sorted(set(map(str, neg)))[:5]}"
+        )
     per_strat: Dict[object, list] = {}
     for r in sums:
         per_strat.setdefault(r["_strat"], []).append(

@@ -180,6 +180,23 @@ def test_zero_budget_and_validation(frame):
         token_budget_sample(frame, {"web": 5}, shard_chars=0)
 
 
+def test_negative_n_tok_rejected(spark):
+    df = spark.createDataFrame(
+        [("a", 5, "web"), ("b", -1, "web")],
+        "doc_id string, n_tok int, source string",
+    )
+    with pytest.raises(ValueError, match="negative"):
+        token_budget_sample(df, {"web": 10})
+
+
+def test_non_string_stratum_rejected(spark):
+    df = spark.createDataFrame(
+        [("a", 5, 1)], "doc_id string, n_tok int, source int"
+    )
+    with pytest.raises(TypeError, match="string column"):
+        token_budget_sample(df, {"1": 10})
+
+
 def test_duckdb_oracle_parity(frame):
     pdf = frame.toPandas()
     con = duckdb.connect()
