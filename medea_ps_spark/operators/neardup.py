@@ -157,6 +157,76 @@ def incremental_near_duplicates(
     )
 
 
+def fuzzy_contamination_check(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    eval_id_col: str = "doc_id",
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_k: int = 3,
+    threshold: float = 0.6,
+    seed: int = 42,
+    max_bucket_size: Optional[int] = 1000,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Fuzzy (near-duplicate) decontamination of a training corpus
+    against an eval/benchmark set — the Jaccard-similarity complement
+    of `dedup.contamination_check`'s exact-shingle test (GPT-3 App. A
+    uses exact n-gram collision; later corpora also drop documents
+    NEAR-matching an eval item, which exact collision misses after
+    light paraphrase/reformatting).
+
+    Output: one row per CONTAMINATED corpus doc — (id, max_jaccard,
+    n_eval_matches, eval ids list) with jaccard >= threshold; join back
+    left-anti (or use :func:`fuzzy_decontaminate`) to drop them.
+
+    Scale shape (why this is not just `minhash_near_duplicates` over
+    the union): the corpus is the 10^12-row side and is SCANNED ONCE
+    (signature + band explode, map-only); the eval set is thousands of
+    rows, so its band index AND its shingle sets broadcast — every join
+    here is a broadcast hash probe on the corpus stream, no corpus
+    shuffle until the final per-doc max over the (tiny) candidate set.
+    This is `incremental_near_duplicates` with the roles flipped:
+    batch=corpus, corpus=eval."""
+    matches = incremental_near_duplicates(
+        corpus,
+        eval_df.withColumnRenamed(eval_id_col, id_col),
+        text_col, id_col, num_hashes, bands, shingle_k,
+        threshold, seed, max_bucket_size, hash_fn,
+    )
+    return (
+        matches.groupBy(F.col("batch_id").alias(id_col))
+        .agg(
+            F.max("jaccard").alias("max_jaccard"),
+            F.count(F.lit(1)).alias("n_eval_matches"),
+            F.sort_array(F.collect_list("corpus_id")).alias("eval_ids"),
+        )
+    )
+
+
+def fuzzy_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    threshold: float = 0.6,
+    **kw,
+) -> Tuple[DataFrame, DataFrame]:
+    """(clean_corpus, contamination_report): corpus rows with no eval
+    near-match, plus the evidence rows from
+    :func:`fuzzy_contamination_check`. The reject filter is a left-anti
+    join on the (small) contaminated-id set."""
+    report = fuzzy_contamination_check(
+        corpus, eval_df, text_col, id_col, threshold=threshold, **kw
+    )
+    clean = corpus.join(
+        report.select(id_col), id_col, "left_anti"
+    )
+    return clean, report
+
+
 def incremental_near_dedup(
     batch: DataFrame,
     corpus: DataFrame,

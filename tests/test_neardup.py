@@ -107,6 +107,85 @@ def test_fresh_and_matches_partition_batch(spark, corpus, batch):
     }
 
 
+@pytest.fixture(scope="module")
+def eval_set(spark, corpus):
+    """Benchmark set: 5 near-copies of corpus docs (one word appended)
+    + 3 unrelated probes, under a differently-named id column."""
+    near = (
+        corpus.orderBy("doc_id")
+        .limit(5)
+        .select(
+            (F.col("doc_id") + 2_000_000).alias("eval_id"),
+            F.concat(F.col("text"), F.lit(" zzzeval")).alias("text"),
+        )
+    )
+    fresh = spark.createDataFrame(
+        [
+            (2_900_001, "completely unrelated benchmark question one two three"),
+            (2_900_002, "another unrelated benchmark prompt four five six"),
+            (2_900_003, "third unrelated eval item seven eight nine"),
+        ],
+        ["eval_id", "text"],
+    )
+    df = near.union(fresh)
+    df.cache().count()
+    return df
+
+
+def test_fuzzy_contamination_catches_planted_near_matches(
+    spark, corpus, eval_set
+):
+    planted = {
+        r["doc_id"] for r in corpus.orderBy("doc_id").limit(5).collect()
+    }
+    rep = ND.fuzzy_contamination_check(
+        corpus, eval_set, eval_id_col="eval_id", threshold=0.5, **PARAMS
+    ).collect()
+    got = {r["doc_id"] for r in rep}
+    assert planted <= got  # every planted near-copy is flagged
+    by_id = {r["doc_id"]: r for r in rep}
+    for d in planted:
+        r = by_id[d]
+        assert 0.5 <= r["max_jaccard"] < 1.0
+        assert d + 2_000_000 in r["eval_ids"]
+        assert r["n_eval_matches"] == len(r["eval_ids"])
+    # report jaccard agrees with the role-flipped incremental matches
+    pairs = {
+        (m["batch_id"], m["corpus_id"]): m["jaccard"]
+        for m in ND.incremental_near_duplicates(
+            corpus,
+            eval_set.withColumnRenamed("eval_id", "doc_id"),
+            threshold=0.5,
+            **PARAMS,
+        ).collect()
+    }
+    for r in rep:
+        want = max(pairs[(r["doc_id"], e)] for e in r["eval_ids"])
+        assert r["max_jaccard"] == pytest.approx(want, rel=1e-12)
+
+
+def test_fuzzy_decontaminate_partitions_corpus(spark, corpus, eval_set):
+    clean, report = ND.fuzzy_decontaminate(
+        corpus,
+        eval_set.withColumnRenamed("eval_id", "doc_id"),
+        threshold=0.5,
+        **PARAMS,
+    )
+    bad = {r["doc_id"] for r in report.select("doc_id").collect()}
+    kept = {r["doc_id"] for r in clean.select("doc_id").collect()}
+    allc = {r["doc_id"] for r in corpus.select("doc_id").collect()}
+    assert bad | kept == allc and not (bad & kept)
+    assert clean.columns == corpus.columns
+    # unrelated eval probes contaminate nothing: every flagged doc is a plant
+    assert bad == {
+        r["doc_id"] for r in corpus.orderBy("doc_id").limit(5).collect()
+    }
+    # equi-join plan, never a cartesian fallback on the corpus stream
+    plan = clean._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
 def test_bucket_cap_drops_degenerate_corpus_bucket(spark):
     boiler = spark.range(0, 50).select(
         F.col("id").alias("doc_id"),
