@@ -157,12 +157,16 @@ def q_histogram_n_chars(spark, sf_dir):
 
 
 def q_drift_chi2(spark, sf_dir):
-    """Two-sample χ² between even/odd doc_id halves over n_chars buckets
-    — fully in SQL aggregation (the sketch path); stat rounded."""
+    """Two-sample χ² AND PSI between even/odd doc_id halves over
+    n_chars buckets — fully in SQL aggregation (the sketch path). PSI
+    follows operators/drift._psi_from_counts exactly: a 16-bucket spine
+    (absent buckets count 0), proportions floored at 1e-4, renormalized,
+    Σ(p1−p2)·ln(p1/p2). All post-sketch relations are ≤16 rows; the two
+    crossJoins are 1-row broadcast totals."""
     from medea_ps_spark.operators.sketches import bucket_expr
 
     df = _docs(spark, sf_dir)
-    h = (
+    h0 = (
         df.withColumn("bucket", bucket_expr("n_chars", 0, 800, 16))
         .groupBy("bucket")
         .agg(
@@ -170,25 +174,44 @@ def q_drift_chi2(spark, sf_dir):
             F.sum((F.col("doc_id") % 2 == 1).cast("bigint")).alias("o2"),
         )
     )
-    tot = h.agg(
-        F.sum("o1").alias("n1"), F.sum("o2").alias("n2")
+    spine = spark.range(16).select(F.col("id").cast("int").alias("bucket"))
+    h = spine.join(h0, "bucket", "left").select(
+        "bucket",
+        F.coalesce("o1", F.lit(0)).alias("o1"),
+        F.coalesce("o2", F.lit(0)).alias("o2"),
     )
-    stat = (
-        h.crossJoin(tot)
-        .where(F.col("o1") + F.col("o2") > 0)
+    tot = h.agg(F.sum("o1").alias("n1"), F.sum("o2").alias("n2"))
+    terms = h.crossJoin(tot).select(
+        "o1", "o2", "n1", "n2",
+        F.greatest(
+            F.col("o1").cast("double") / F.col("n1"), F.lit(1e-4)
+        ).alias("p1"),
+        F.greatest(
+            F.col("o2").cast("double") / F.col("n2"), F.lit(1e-4)
+        ).alias("p2"),
+    )
+    norm = terms.agg(F.sum("p1").alias("s1"), F.sum("p2").alias("s2"))
+    q1 = F.col("p1") / F.col("s1")
+    q2 = F.col("p2") / F.col("s2")
+    return (
+        terms.crossJoin(norm)
         .select(
-            (
+            F.when(
+                F.col("o1") + F.col("o2") > 0,
                 F.pow(
                     F.sqrt(F.col("n2") / F.col("n1")) * F.col("o1")
                     - F.sqrt(F.col("n1") / F.col("n2")) * F.col("o2"),
                     F.lit(2.0),
                 )
-                / (F.col("o1") + F.col("o2"))
-            ).alias("term")
+                / (F.col("o1") + F.col("o2")),
+            ).alias("cterm"),
+            ((q1 - q2) * F.log(q1 / q2)).alias("pterm"),
         )
-        .agg(F.round(F.sum("term"), 4).alias("chi2_stat"))
+        .agg(
+            F.round(F.sum("cterm"), 4).alias("chi2_stat"),
+            F.round(F.sum("pterm"), 6).alias("psi"),
+        )
     )
-    return stat
 
 
 def q_drift_chi2_by_source(spark, sf_dir):
@@ -1789,17 +1812,28 @@ def oracle_sql() -> dict[str, str]:
             FROM fresh GROUP BY fingerprint
         """,
         "drift_chi2": f"""
-            WITH h AS (
+            WITH h0 AS (
               SELECT {b16} AS bucket,
                      CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS o1,
                      CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS o2
               FROM documents GROUP BY 1
-            ), t AS (SELECT sum(o1) n1, sum(o2) n2 FROM h)
-            SELECT round(sum(
+            ), spine AS (SELECT CAST(x AS INT) AS bucket FROM range(16) t(x)),
+            h AS (
+              SELECT s.bucket, coalesce(o1, 0) AS o1, coalesce(o2, 0) AS o2
+              FROM spine s LEFT JOIN h0 ON s.bucket = h0.bucket
+            ), t AS (SELECT sum(o1) n1, sum(o2) n2 FROM h),
+            terms AS (
+              SELECT o1, o2, n1, n2,
+                     greatest(CAST(o1 AS DOUBLE)/n1, 1e-4) AS p1,
+                     greatest(CAST(o2 AS DOUBLE)/n2, 1e-4) AS p2
+              FROM h, t
+            ), norm AS (SELECT sum(p1) AS s1, sum(p2) AS s2 FROM terms)
+            SELECT round(sum(CASE WHEN o1 + o2 > 0 THEN
                      pow(sqrt(CAST(n2 AS DOUBLE)/n1)*o1
                          - sqrt(CAST(n1 AS DOUBLE)/n2)*o2, 2) / (o1+o2)
-                   ), 4) AS chi2_stat
-            FROM h, t WHERE o1 + o2 > 0
+                   END), 4) AS chi2_stat,
+                   round(sum((p1/s1 - p2/s2) * ln((p1/s1)/(p2/s2))), 6) AS psi
+            FROM terms, norm
         """,
         "table_diff": """
             WITH new AS (

@@ -135,6 +135,108 @@ def chi2_drift(
     }
 
 
+def _psi_from_counts(obs: np.ndarray, exp: np.ndarray, eps: float) -> float:
+    """PSI = Σ (p_obs − p_exp)·ln(p_obs/p_exp) over the fixed buckets.
+    Proportions are floored at eps (the standard guard for empty
+    buckets — a 0→anything move would otherwise be ±inf) and
+    renormalized so both vectors stay distributions; identical counts
+    give exactly 0.0 either way."""
+    po = np.maximum(obs / obs.sum(), eps)
+    pe = np.maximum(exp / exp.sum(), eps)
+    po, pe = po / po.sum(), pe / pe.sum()
+    return float(((po - pe) * np.log(po / pe)).sum())
+
+
+def psi_band(stat: float) -> str:
+    """The conventional PSI reading: <0.1 stable, 0.1–0.25 moderate
+    shift (investigate), >0.25 major shift (act)."""
+    if math.isnan(stat):
+        return "undefined"
+    if stat < 0.1:
+        return "stable"
+    if stat <= 0.25:
+        return "moderate"
+    return "major"
+
+
+def psi_drift(
+    df: DataFrame,
+    profile: ReferenceProfile,
+    name: str,
+    token_array: bool = False,
+    eps: float = 1e-4,
+    threshold: float = 0.25,
+) -> Dict:
+    """Population Stability Index of the current epoch vs the profile —
+    the credit-scoring industry's scale-free drift magnitude (a
+    symmetrized KL over the fixed histogram buckets). Complements
+    χ²/KS: those answer "is the shift statistically real?" (p-values
+    shrink with n, so at 10^12 rows EVERYTHING is significant); PSI
+    answers "is the shift big enough to matter?" independent of n.
+    Same one-pass histogram sketch, driver-side math on ≤ nbuckets
+    values."""
+    p = profile.columns[name]
+    if token_array:
+        h = token_histogram(df, p.column, vocab=int(p.hi), nbuckets=p.nbuckets)
+    else:
+        h = histogram(df, p.column, p.lo, p.hi, p.nbuckets)
+    obs = _counts_vector(h, p.nbuckets)
+    exp = np.array(p.counts, dtype=np.float64)
+    if obs.sum() == 0 or exp.sum() == 0:
+        return {
+            "name": name, "test": "psi", "stat": float("nan"),
+            "band": "undefined", "drifted": True, "threshold": threshold,
+        }
+    stat = _psi_from_counts(obs, exp, eps)
+    return {
+        "name": name,
+        "test": "psi",
+        "stat": stat,
+        "band": psi_band(stat),
+        "n": int(obs.sum()),
+        "drifted": bool(stat > threshold),
+        "threshold": threshold,
+    }
+
+
+def psi_drift_by_partition(
+    df: DataFrame,
+    profile: ReferenceProfile,
+    name: str,
+    partition_col: str = "source",
+    eps: float = 1e-4,
+    threshold: float = 0.25,
+):
+    """Per-partition PSI verdicts from ONE grouped histogram aggregation
+    (≤ nbuckets × |partitions| rows collected), mirroring
+    chi2_drift_by_partition."""
+    p = profile.columns[name]
+    h = histogram(df, p.column, p.lo, p.hi, p.nbuckets, partition_col=partition_col)
+    rows = h.collect()
+    parts = sorted({r[partition_col] for r in rows})
+    exp = np.array(p.counts, dtype=np.float64)
+    out = []
+    for part in parts:
+        obs = np.zeros(p.nbuckets, dtype=np.float64)
+        for r in rows:
+            if r[partition_col] == part:
+                obs[r["bucket"]] = r["bucket_count"]
+        if obs.sum() == 0 or exp.sum() == 0:
+            out.append({
+                "partition": part, "name": name, "test": "psi",
+                "stat": float("nan"), "band": "undefined",
+                "drifted": True, "threshold": threshold,
+            })
+            continue
+        stat = _psi_from_counts(obs, exp, eps)
+        out.append({
+            "partition": part, "name": name, "test": "psi", "stat": stat,
+            "band": psi_band(stat), "n": int(obs.sum()),
+            "drifted": bool(stat > threshold), "threshold": threshold,
+        })
+    return out
+
+
 def ks_drift(
     df: DataFrame,
     profile: ReferenceProfile,
@@ -291,11 +393,22 @@ def drift_verdicts(
     tests: List[Dict],
     alpha: float = 0.001,
 ) -> List[Dict]:
-    """tests: [{name, test: chi2|ks, token_array?: bool}]. Verdict rows
-    analogous to partition-level constraint results (drifted = p<α)."""
+    """tests: [{name, test: chi2|ks|psi, token_array?: bool,
+    threshold?: float}]. Verdict rows analogous to partition-level
+    constraint results (χ²/KS: drifted = p<α; PSI: drifted =
+    stat>threshold — PSI is a magnitude, not a significance test)."""
     out = []
     for t in tests:
-        fn = chi2_drift if t.get("test", "chi2") == "chi2" else ks_drift
+        kind = t.get("test", "chi2")
+        if kind == "psi":
+            r = psi_drift(
+                df, profile, t["name"],
+                token_array=bool(t.get("token_array")),
+                threshold=float(t.get("threshold", 0.25)),
+            )
+            out.append(r)
+            continue
+        fn = chi2_drift if kind == "chi2" else ks_drift
         r = fn(df, profile, t["name"], token_array=bool(t.get("token_array")))
         r["drifted"] = bool(r["pvalue"] < alpha)
         r["alpha"] = alpha

@@ -386,3 +386,100 @@ def test_stats_bound_sketch_aggs_validate_on_direct_call(spark, seq_df):
     ):
         with pytest.raises(ValueError, match="b:"):
             ST.stats_bound_verdicts(seq_df, [bad], "source")
+
+
+# ---------------------------------------------------------------------------
+# PSI (population stability index)
+# ---------------------------------------------------------------------------
+
+
+def test_psi_math_reference():
+    # identical counts -> exactly 0, any eps
+    same = np.array([5.0, 10.0, 85.0])
+    assert D._psi_from_counts(same, same * 3, eps=1e-4) == 0.0
+    # hand-checked two-bucket case, no flooring in play:
+    # p_o=(0.5,0.5), p_e=(0.25,0.75) -> .25*ln2 + (-.25)*ln(2/3)
+    obs = np.array([50.0, 50.0])
+    exp = np.array([25.0, 75.0])
+    want = 0.25 * math.log(2.0) + (-0.25) * math.log(0.5 / 0.75)
+    assert D._psi_from_counts(obs, exp, eps=1e-12) == pytest.approx(want, rel=1e-12)
+    # an empty observed bucket is finite thanks to the eps floor
+    got = D._psi_from_counts(np.array([0.0, 100.0]), exp, eps=1e-4)
+    assert math.isfinite(got) and got > 0.25
+    # bands
+    assert D.psi_band(0.05) == "stable"
+    assert D.psi_band(0.2) == "moderate"
+    assert D.psi_band(0.9) == "major"
+    assert D.psi_band(float("nan")) == "undefined"
+
+
+def test_psi_clean_vs_shifted(spark):
+    clean = synthetic.sequences(spark, 20_000, seed=1, clean=True)
+    prof = D.build_profile(
+        clean, {"n_tok": {"column": "n_tok", "lo": 1, "hi": synthetic.MAX_LEN}}
+    )
+    same = synthetic.sequences(spark, 20_000, seed=2, clean=True)
+    ok = D.psi_drift(same, prof, "n_tok")
+    assert ok["band"] == "stable" and not ok["drifted"], ok
+    shifted = same.withColumn(
+        "n_tok",
+        F.least((F.col("n_tok") * 1.5).cast("int"), F.lit(synthetic.MAX_LEN)),
+    )
+    bad = D.psi_drift(shifted, prof, "n_tok")
+    assert bad["drifted"] and bad["band"] == "major", bad
+    # and via the drift_verdicts front door, mixed with chi2
+    verdicts = D.drift_verdicts(
+        shifted, prof,
+        [{"name": "n_tok", "test": "psi"}, {"name": "n_tok", "test": "chi2"}],
+    )
+    assert all(v["drifted"] for v in verdicts), verdicts
+    # magnitude-vs-significance: PSI of the same-distribution epoch is
+    # far below even the moderate band (chi2 p-values would eventually
+    # flag ANY difference at scale; PSI stays scale-free)
+    assert ok["stat"] < 0.02
+
+
+def test_psi_by_partition_flags_only_shifted_source(spark):
+    clean = synthetic.sequences(spark, 40_000, seed=3, clean=True)
+    prof = D.build_profile(
+        clean, {"n_tok": {"column": "n_tok", "lo": 1, "hi": synthetic.MAX_LEN}}
+    )
+    cur = synthetic.sequences(spark, 40_000, seed=4, clean=True)
+    # plant the shift in ONE source only
+    cur = cur.withColumn(
+        "n_tok",
+        F.when(
+            F.col("source") == "web-2025",
+            F.least((F.col("n_tok") * 1.5).cast("int"), F.lit(synthetic.MAX_LEN)),
+        ).otherwise(F.col("n_tok")),
+    )
+    verdicts = D.psi_drift_by_partition(cur, prof, "n_tok", "source")
+    by_src = {v["partition"]: v for v in verdicts}
+    assert by_src["web-2025"]["drifted"], by_src["web-2025"]
+    # the dominant unshifted sources stay clean (skip tiny tail sources
+    # whose sampling noise is legitimate)
+    big_clean = [
+        v for v in verdicts
+        if v["partition"] != "web-2025" and v.get("n", 0) >= 2000
+    ]
+    assert big_clean and not any(v["drifted"] for v in big_clean), big_clean
+
+
+def test_psi_spark_matches_numpy_exactly(spark):
+    """The Spark side only produces bucket counts; PSI math must equal a
+    direct numpy computation on pandas-derived counts bit-for-bit."""
+    clean = synthetic.sequences(spark, 10_000, seed=5, clean=True)
+    prof = D.build_profile(
+        clean, {"n_tok": {"column": "n_tok", "lo": 1, "hi": synthetic.MAX_LEN}}
+    )
+    cur = synthetic.sequences(spark, 10_000, seed=6, clean=True)
+    got = D.psi_drift(cur, prof, "n_tok")
+    p = prof.columns["n_tok"]
+    pdf = cur.select("n_tok").toPandas()
+    width = (p.hi - p.lo) / p.nbuckets
+    idx = np.clip(
+        np.floor((pdf["n_tok"].to_numpy(float) - p.lo) / width), 0, p.nbuckets - 1
+    ).astype(int)
+    obs = np.bincount(idx, minlength=p.nbuckets).astype(float)
+    want = D._psi_from_counts(obs, np.array(p.counts, float), eps=1e-4)
+    assert got["stat"] == want
