@@ -569,6 +569,49 @@ def q_text_en_markers(spark, sf_dir):
     )
 
 
+# planted unicode suffixes keyed by doc_id % 6 — shared between the
+# Spark query and the DuckDB twin (embedded as UTF-8 literals in the
+# SQL). Covers: no-op ASCII, NFC composition (combining acute,
+# dakuten), already-NFC passthrough, zero-width strip, C0-control strip.
+_NORM_SUFFIXES = [
+    "",
+    " cafe\u0301",       # e + combining acute -> e-acute under NFC
+    " caf\u00e9",        # already composed: normalization no-op
+    " zero\u200bwidth",  # ZWSP stripped
+    " ctrl\u0007bell",   # C0 control stripped
+    " \u304b\u3099na",  # ka + dakuten -> ga under NFC
+]
+
+# RE2 twin of textnorm.CONTROL_CHARS_RE for the DuckDB oracle
+_NORM_STRIP_RE2 = (
+    "[\\x00-\\x08\\x0B\\x0C\\x0E-\\x1F\\x7F"
+    "\\x{0080}-\\x{009F}\\x{200B}-\\x{200D}\\x{2060}\\x{FEFF}]"
+)
+
+
+def q_text_normalize(spark, sf_dir):
+    """Unicode normalization under the oracle: deterministic unicode
+    suffixes planted by doc_id % 6 onto the (ASCII) corpus, then the
+    REAL operator — textnorm.normalize_text (control/zero-width strip
+    JVM regex + NFC via the Arrow-batched pandas UDF). The DuckDB twin
+    replants with the same CASE and runs regexp_replace (RE2 class
+    above) + nfc_normalize, pinning the full normalized strings."""
+    from medea_ps_spark.operators.textnorm import normalize_text
+
+    df = _docs(spark, sf_dir)
+    suffix = F.element_at(
+        F.array(*[F.lit(s) for s in _NORM_SUFFIXES]),
+        (F.col("doc_id") % 6).cast("int") + 1,
+    )
+    planted = df.withColumn("text", F.concat(F.col("text"), suffix))
+    out = normalize_text(planted, "text", out_col="norm_text", form="NFC")
+    return out.select(
+        "doc_id",
+        "norm_text",
+        (F.col("norm_text") != F.col("text")).alias("changed"),
+    )
+
+
 def q_text_fingerprints(spark, sf_dir):
     df = _docs(spark, sf_dir)
     return (
@@ -1447,7 +1490,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     the composition itself stays covered by test_semdedup /
     test_dedup_cluster (q_embedding_dedup_clusters remains callable).
     The incoming row puts the token-budget mixture sampler's sharded
-    prefix-sum selection under the oracle."""
+    prefix-sum selection under the oracle.
+
+    Round-5 session 14 folded text_en_markers → text_normalize: the
+    English-marker counting stays pytest-covered via
+    textquality.language_scores (test_dedup_similarity_text.py::
+    test_language_scores uses the same function-word hit expressions;
+    q_text_en_markers remains callable). The incoming row plants
+    deterministic unicode suffixes (doc_id % 6: decomposed accent,
+    composed no-op, zero-width, C0 control, dakuten) and runs the REAL
+    textnorm.normalize_text operator (JVM strip + Arrow NFC UDF)
+    against a DuckDB regexp_replace + nfc_normalize twin that pins the
+    full normalized strings."""
     return {
         "validate_violations": q_validate_violations,
         "validate_verdicts": q_validate_verdicts,
@@ -1473,7 +1527,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_budget_sample": q_token_budget_sample,
         "text_token_stats": q_text_token_stats,
         "text_quality": q_text_quality,
-        "text_en_markers": q_text_en_markers,
+        "text_normalize": q_text_normalize,
         "text_fingerprints": q_text_fingerprints,
         "corpus_clean": q_corpus_clean,
         "contamination": q_contamination,
@@ -2062,10 +2116,25 @@ def oracle_sql() -> dict[str, str]:
                    round(avg({_PUNCT_RATIO}), 6) AS avg_punct_ratio
             FROM documents GROUP BY source
         """,
-        "text_en_markers": f"""
-            SELECT lang, CAST(sum({_EN_HITS}) AS BIGINT) AS en_hits,
-                   CAST(sum(CASE WHEN {_EN_HITS} > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_en_hits
-            FROM documents GROUP BY lang
+        "text_normalize": f"""
+            WITH p AS (
+              SELECT doc_id,
+                     text || CASE CAST(doc_id % 6 AS INT)
+                       WHEN 0 THEN '{_NORM_SUFFIXES[0]}'
+                       WHEN 1 THEN '{_NORM_SUFFIXES[1]}'
+                       WHEN 2 THEN '{_NORM_SUFFIXES[2]}'
+                       WHEN 3 THEN '{_NORM_SUFFIXES[3]}'
+                       WHEN 4 THEN '{_NORM_SUFFIXES[4]}'
+                       ELSE '{_NORM_SUFFIXES[5]}'
+                     END AS text
+              FROM documents
+            ), n AS (
+              SELECT doc_id, text,
+                     nfc_normalize(regexp_replace(
+                       text, '{_NORM_STRIP_RE2}', '', 'g')) AS norm_text
+              FROM p
+            )
+            SELECT doc_id, norm_text, norm_text <> text AS changed FROM n
         """,
         "text_fingerprints": f"""
             SELECT count(*) AS n_docs,

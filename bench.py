@@ -315,7 +315,7 @@ def bench_queries(spark) -> dict:
         "table_diff", "quality_model", "dedup_incremental",
         "token_contamination", "token_span_dedup",
         "validate_violations_sample", "dsir_resample",
-        "token_budget_sample",
+        "token_budget_sample", "text_normalize",
     ]
     qs = em.queries()
     out = {}
