@@ -167,3 +167,36 @@ def test_encode_plan_is_map_only(emb, codebook):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "ArrowEvalPython" in plan and "BatchEvalPython" not in plan
+
+
+def test_partitioned_layout_prunes_probe_scan(spark, emb, codebook, tmp_path):
+    """The docstring's scale claim, proven: an encoded corpus written
+    partitionBy('ivf_list') turns the probe filter into parquet
+    PARTITION pruning — the scan reads only n_probe cells' files."""
+    cent = IVF.train_centroids(emb, k=8, sample=500, iters=8, seed=7)
+    path = str(tmp_path / "pq_table")
+    PQ.encode_pq(
+        IVF.assign_lists(emb, cent), codebook
+    ).write.partitionBy("ivf_list").parquet(path)
+    table = spark.read.parquet(path)
+    probed = table.where(F.col("ivf_list").isin([0, 3]))
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    # partition filters are pushed; no per-row filter on ivf_list remains
+    assert "PartitionFilters: [ivf_list" in plan.replace("\n", " ") or (
+        "PartitionFilters" in plan and "ivf_list" in plan
+    ), plan
+    # and the pruned scan really reads a subset
+    n_all = table.count()
+    n_probed = probed.count()
+    assert 0 < n_probed < n_all
+    # pruned candidates still produce the same top-k as filtering in
+    # memory (layout change never changes results)
+    mem = {
+        r["vec_id"]
+        for r in PQ.encode_pq(IVF.assign_lists(emb, cent), codebook)
+        .where(F.col("ivf_list").isin([0, 3]))
+        .select("vec_id")
+        .collect()
+    }
+    disk = {r["vec_id"] for r in probed.select("vec_id").collect()}
+    assert mem == disk
