@@ -1419,6 +1419,40 @@ def q_referential_salted(spark, sf_dir):
     )
 
 
+def q_source_vocab_overlap(spark, sf_dir):
+    """Cross-source token-vocabulary Jaccard via per-source KMV
+    sketches and the k-minima union estimator (Beyer et al. SIGMOD'07):
+    the corpus is scanned once (explode -> map-side partial distinct ->
+    two-phase per-group top-k), every later stage runs over
+    |sources| x k rows. Deterministic md5 hashing (the round-2 trick)
+    makes the WHOLE estimator reproducible in the DuckDB oracle —
+    exact Jaccard whenever a source's vocabulary is under k.
+    operators/vocab.py."""
+    from medea_ps_spark.operators.vocab import (
+        kmv_jaccard_pairs,
+        token_vocab_minima,
+    )
+
+    df = spark.read.parquet(SEQ_FIXTURE)
+    minima = token_vocab_minima(df, "tokens", "source", k=100)
+    return kmv_jaccard_pairs(minima, "source", k=100)
+
+
+def q_source_divergence(spark, sf_dir):
+    """Pairwise Jensen-Shannon divergence between the sources' token
+    distributions (mixture-design complement of the profile-based
+    chi2/KS/PSI drift rows): one corpus scan into (source, bucket)
+    partial-agg counts, then an O(|sources|^2 x buckets) pair stage
+    over that bounded relation — pure JVM aggregates, reproduced
+    term-for-term by the oracle. operators/divergence.py."""
+    from medea_ps_spark.operators.divergence import source_divergence_matrix
+
+    df = spark.read.parquet(SEQ_FIXTURE)
+    return source_divergence_matrix(
+        df, "tokens", "source", n_buckets=128
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """50 entries — the driver's CORRECTNESS harness records at most 50
     rows (r03 recorded exactly the first 50 of 54), so four twins were
@@ -1501,7 +1535,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     composed no-op, zero-width, C0 control, dakuten) and runs the REAL
     textnorm.normalize_text operator (JVM strip + Arrow NFC UDF)
     against a DuckDB regexp_replace + nfc_normalize twin that pins the
-    full normalized strings."""
+    full normalized strings.
+
+    Round-5 session 15 folded two cross-table twins for two new
+    cross-source operators: seq_referential_violations →
+    source_vocab_overlap (the referential check stays driver-covered
+    by referential_violations + referential_salted on documents and
+    inside seq_validation's source gate; q_ stays callable) and
+    seq_token_histogram → source_divergence (token bucketing is a
+    strict subset of divergence.token_bucket_counts, and the histogram
+    signal stays driver-covered by histogram paths in drift_chi2 /
+    quantiles_tdigest; q_ stays callable). The newcomers put the KMV
+    k-minima-union vocabulary Jaccard (operators/vocab.py) and the
+    pairwise token-distribution JSD matrix (operators/divergence.py)
+    under the oracle."""
     return {
         "validate_violations": q_validate_violations,
         "validate_verdicts": q_validate_verdicts,
@@ -1540,9 +1587,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_span_dedup": q_token_span_dedup,
         "text_lm_score": q_text_lm_score,
         "seq_validation": q_seq_validation,
-        "seq_token_histogram": q_seq_token_histogram,
+        "source_divergence": q_source_divergence,
         "seq_unique_violations": q_seq_unique_violations,
-        "seq_referential_violations": q_seq_referential_violations,
+        "source_vocab_overlap": q_source_vocab_overlap,
         "dedup_cluster_canon": q_dedup_cluster_canon,
         "stats_bounds": q_stats_bounds,
         "quantiles_tdigest": q_quantiles_tdigest,
@@ -2515,14 +2562,48 @@ def oracle_sql() -> dict[str, str]:
                      AS partition_passed
             FROM t GROUP BY source
         """,
-        "seq_token_histogram": f"""
-            SELECT CAST(least(greatest(CAST(floor(CAST(tok AS DOUBLE)
-                         / {50257.0 / 32}) AS BIGINT), 0), 31) AS INT)
-                     AS bucket,
-                   count(*) AS bucket_count
-            FROM (SELECT unnest(tokens) AS tok
-                  FROM read_parquet('{SEQ_FIXTURE}'))
-            GROUP BY 1
+        "source_divergence": f"""
+            WITH c AS (
+              SELECT source AS g, ((tok % 128) + 128) % 128 AS bucket,
+                     CAST(count(*) AS DOUBLE) AS cnt
+              FROM (SELECT source, unnest(tokens) AS tok
+                    FROM read_parquet('{SEQ_FIXTURE}'))
+              GROUP BY 1, 2
+            ),
+            tot AS (SELECT g, sum(cnt) AS tot FROM c GROUP BY g),
+            gs AS (SELECT DISTINCT g FROM c),
+            pairs AS (SELECT a.g AS g_a, b.g AS g_b
+                      FROM gs a JOIN gs b ON a.g < b.g),
+            u AS (
+              SELECT p.g_a, p.g_b, c.bucket, c.cnt AS ca, 0.0 AS cb
+              FROM pairs p JOIN c ON c.g = p.g_a
+              UNION ALL
+              SELECT p.g_a, p.g_b, c.bucket, 0.0 AS ca, c.cnt AS cb
+              FROM pairs p JOIN c ON c.g = p.g_b
+            ),
+            joint AS (
+              SELECT g_a, g_b, bucket, sum(ca) AS ca, sum(cb) AS cb
+              FROM u GROUP BY 1, 2, 3
+            ),
+            terms AS (
+              SELECT j.g_a, j.g_b,
+                     (CASE WHEN j.ca > 0 THEN 0.5 * (j.ca / ta.tot)
+                           * ln((j.ca / ta.tot)
+                                / ((j.ca / ta.tot + j.cb / tb.tot) / 2))
+                           ELSE 0.0 END)
+                   + (CASE WHEN j.cb > 0 THEN 0.5 * (j.cb / tb.tot)
+                           * ln((j.cb / tb.tot)
+                                / ((j.ca / ta.tot + j.cb / tb.tot) / 2))
+                           ELSE 0.0 END) AS term
+              FROM joint j
+              JOIN tot ta ON ta.g = j.g_a
+              JOIN tot tb ON tb.g = j.g_b
+            )
+            SELECT g_a, g_b,
+                   CAST(count(*) AS BIGINT) AS n_buckets_union,
+                   round(sum(term), 6) AS jsd,
+                   round(sum(term) / ln(2.0), 6) AS jsd_norm
+            FROM terms GROUP BY g_a, g_b
         """,
         "seq_unique_violations": f"""
             SELECT d.doc_id,
@@ -2535,11 +2616,51 @@ def oracle_sql() -> dict[str, str]:
                   GROUP BY doc_id HAVING count(*) > 1) g
               ON d.doc_id = g.doc_id
         """,
-        "seq_referential_violations": f"""
-            SELECT doc_id,
-                   coalesce(CAST(source AS VARCHAR), 'null') AS observed
-            FROM read_parquet('{SEQ_FIXTURE}')
-            WHERE source NOT IN ({_SEQ_SRC_LIST}) OR source IS NULL
+        "source_vocab_overlap": f"""
+            WITH ex AS (
+              SELECT source AS g,
+                     substr(md5(CAST(tok AS VARCHAR) || ':kmv'), 1, 8)
+                       AS hx
+              FROM (SELECT source, unnest(tokens) AS tok
+                    FROM read_parquet('{SEQ_FIXTURE}'))
+              WHERE tok IS NOT NULL
+            ),
+            m AS (
+              SELECT g, hx FROM (
+                SELECT g, hx,
+                       row_number() OVER (PARTITION BY g ORDER BY hx)
+                         AS rn
+                FROM (SELECT DISTINCT g, hx FROM ex)
+              ) WHERE rn <= 100
+            ),
+            gs AS (SELECT DISTINCT g FROM m),
+            pairs AS (SELECT a.g AS g_a, b.g AS g_b
+                      FROM gs a JOIN gs b ON a.g < b.g),
+            u AS (
+              SELECT p.g_a, p.g_b, m.hx, 1 AS in_a, 0 AS in_b
+              FROM pairs p JOIN m ON m.g = p.g_a
+              UNION ALL
+              SELECT p.g_a, p.g_b, m.hx, 0 AS in_a, 1 AS in_b
+              FROM pairs p JOIN m ON m.g = p.g_b
+            ),
+            memb AS (
+              SELECT g_a, g_b, hx, max(in_a) AS in_a, max(in_b) AS in_b
+              FROM u GROUP BY g_a, g_b, hx
+            ),
+            ranked AS (
+              SELECT *, row_number() OVER (PARTITION BY g_a, g_b
+                                           ORDER BY hx) AS rn
+              FROM memb
+            )
+            SELECT g_a, g_b,
+                   CAST(count(*) AS BIGINT) AS k_used,
+                   CAST(sum(CASE WHEN in_a = 1 AND in_b = 1
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_shared,
+                   round(CAST(sum(CASE WHEN in_a = 1 AND in_b = 1
+                                  THEN 1 ELSE 0 END) AS DOUBLE)
+                         / CAST(count(*) AS DOUBLE), 6) AS jaccard_est
+            FROM ranked WHERE rn <= 100
+            GROUP BY g_a, g_b
         """,
         "quantiles_tdigest": """
             WITH q AS (

@@ -316,6 +316,7 @@ def bench_queries(spark) -> dict:
         "token_contamination", "token_span_dedup",
         "validate_violations_sample", "dsir_resample",
         "token_budget_sample", "text_normalize",
+        "source_vocab_overlap", "source_divergence",
     ]
     qs = em.queries()
     out = {}

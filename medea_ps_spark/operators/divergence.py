@@ -1,0 +1,141 @@
+"""Pairwise Jensen–Shannon divergence between per-group token
+distributions — "how far apart are my sources?" as a matrix.
+
+drift.py answers "did THIS column move vs a frozen reference profile"
+(chi², KS, PSI); this module answers the mixture-design question:
+pairwise distributional distance between the corpus's own groups
+(sources, shards, snapshots) over the token-id distribution. JSD is the
+standard choice (symmetric, bounded [0, ln 2], defined even where one
+side has zero mass — unlike KL, which needs smoothing hacks).
+
+Scale shape mirrors vocab.py: the corpus is touched ONCE (explode →
+partial-aggregated (group, bucket) counts: the shuffle carries at most
+|groups| × n_buckets rows, never the token stream); every later stage —
+totals, the pair expansion, the divergence sum — runs over that bounded
+relation. With G groups and B buckets the pair stage is O(G² × B):
+bucket tokens (``n_buckets``) and/or restrict the pair set before
+computing a matrix over thousands of groups.
+
+Fully deterministic, pure JVM aggregates (no UDF), so the whole
+estimator is reproducible by the DuckDB oracle term-for-term (ln and
+double division agree bit-for-bit; results are rounded to 6 dp on both
+sides per house convention).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import DataFrame, functions as F
+
+EPS_NONE = 0.0  # JSD needs no smoothing: zero-mass terms contribute 0
+
+
+def token_bucket_counts(
+    df: DataFrame,
+    token_col: str = "tokens",
+    group_col: str = "source",
+    n_buckets: Optional[int] = None,
+) -> DataFrame:
+    """(group, bucket, cnt) token-id histogram per group. With
+    ``n_buckets`` the token id is folded by pmod (sign-safe for
+    out-of-vocab negatives); without, the bucket IS the token id —
+    only sane when the vocabulary is bounded (state is |groups|×vocab).
+    One map-side partial agg; only (group, bucket) partials shuffle."""
+    tok = F.explode(F.col(token_col)).alias("_tok")
+    ex = df.select(F.col(group_col), tok)
+    bucket = (
+        F.pmod(F.col("_tok"), F.lit(n_buckets)) if n_buckets is not None
+        else F.col("_tok")
+    )
+    return (
+        ex.select(F.col(group_col), bucket.cast("bigint").alias("bucket"))
+        .groupBy(group_col, "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+def js_divergence_pairs(
+    counts: DataFrame, group_col: str = "source"
+) -> DataFrame:
+    """Pairwise JSD from a token_bucket_counts relation.
+
+    For each unordered group pair (g_a < g_b), with p and q the two
+    normalized bucket distributions and m = (p + q) / 2:
+    ``jsd = 0.5 Σ p ln(p/m) + 0.5 Σ q ln(q/m)`` (zero-mass terms
+    contribute nothing — no smoothing constant to tune). Returns
+    (g_a, g_b, n_buckets_union, jsd, jsd_norm) with jsd_norm = jsd/ln 2
+    in [0, 1], both rounded to 6 dp. NULL group keys never form a pair.
+    """
+    c = counts.select(
+        F.col(group_col).alias("g"), "bucket", F.col("cnt").cast("double")
+        .alias("cnt")
+    )
+    tot = c.groupBy("g").agg(F.sum("cnt").alias("tot"))
+    gs = c.select("g").distinct()
+    pairs = (
+        gs.select(F.col("g").alias("g_a"))
+        .join(gs.select(F.col("g").alias("g_b")))
+        .where(F.col("g_a") < F.col("g_b"))
+    )
+    ua = pairs.join(c, F.col("g_a") == F.col("g")).select(
+        "g_a", "g_b", "bucket",
+        F.col("cnt").alias("ca"), F.lit(0.0).alias("cb"),
+    )
+    ub = pairs.join(c, F.col("g_b") == F.col("g")).select(
+        "g_a", "g_b", "bucket",
+        F.lit(0.0).alias("ca"), F.col("cnt").alias("cb"),
+    )
+    joint = (
+        ua.unionByName(ub)
+        .groupBy("g_a", "g_b", "bucket")
+        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+    )
+    withtot = (
+        joint.join(
+            F.broadcast(tot.select(F.col("g").alias("g_a"),
+                                   F.col("tot").alias("tot_a"))),
+            "g_a",
+        )
+        .join(
+            F.broadcast(tot.select(F.col("g").alias("g_b"),
+                                   F.col("tot").alias("tot_b"))),
+            "g_b",
+        )
+    )
+    p = F.col("ca") / F.col("tot_a")
+    q = F.col("cb") / F.col("tot_b")
+    mmid = (p + q) / F.lit(2.0)
+    term = (
+        F.when(p > 0, F.lit(0.5) * p * F.log(p / mmid)).otherwise(F.lit(0.0))
+        + F.when(q > 0, F.lit(0.5) * q * F.log(q / mmid)).otherwise(
+            F.lit(0.0)
+        )
+    )
+    ln2 = 0.6931471805599453
+    return (
+        withtot.groupBy("g_a", "g_b")
+        .agg(
+            F.count("*").cast("bigint").alias("n_buckets_union"),
+            F.sum(term).alias("_jsd"),
+        )
+        .select(
+            "g_a",
+            "g_b",
+            "n_buckets_union",
+            F.round(F.col("_jsd"), 6).alias("jsd"),
+            F.round(F.col("_jsd") / F.lit(ln2), 6).alias("jsd_norm"),
+        )
+    )
+
+
+def source_divergence_matrix(
+    df: DataFrame,
+    token_col: str = "tokens",
+    group_col: str = "source",
+    n_buckets: Optional[int] = 512,
+) -> DataFrame:
+    """One-call pairwise JSD matrix over the token distribution."""
+    return js_divergence_pairs(
+        token_bucket_counts(df, token_col, group_col, n_buckets), group_col
+    )

@@ -1,0 +1,131 @@
+"""Cross-group vocabulary overlap via KMV (k-minimum-values) sketches.
+
+"How much does the token vocabulary of source A overlap source B?" is a
+standard corpus-curation diagnostic (domain relatedness, contamination
+triage, mixture design). Exact per-source distinct-token sets are
+unbounded state at 10^12 sequences; the KMV sketch bounds every source
+to its k smallest distinct hashes, and the classic k-minima union
+estimator (Beyer et al., SIGMOD 2007: the k smallest of A∪B are all
+present in sketch(A) ∪ sketch(B), and the fraction of them lying in
+BOTH sketches estimates |A∩B| / |A∪B|) turns two sketches into a
+Jaccard estimate — exact whenever a source's true vocabulary is under k.
+
+Deterministic by construction (md5 of the value, no RNG), which makes
+the WHOLE estimator SQL-oracle-able: DuckDB computes bit-identical md5
+hex (the repo's round-2 trick), identical k-minima, identical estimate.
+
+Scale shape: the corpus is touched ONCE (explode + map-side partial
+distinct + two-phase per-group top-k — no task ranks more than one
+input partition of a group, topk.py's house pattern); everything after
+operates on |groups| × k rows, so the pair join, membership flags, and
+re-rank are driver-trivial no matter the corpus size. With G groups the
+pair stage is G² × 2k rows — at G in the thousands, still tiny; persist
+the minima relation before pairing so the corpus scan is not repeated.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .topk import topk_per_group
+
+
+def kmv_group_minima(
+    df: DataFrame,
+    column: str,
+    group_col: str,
+    k: int = 100,
+    salt: str = "kmv",
+) -> DataFrame:
+    """Per-group KMV sketch: the k smallest DISTINCT 8-hex-char md5
+    hashes of ``column`` within each ``group_col`` value. Same hash
+    recipe as sketches.kmv_minima (md5 of value + salt, first 8 hex
+    chars) so sketches of the same column merge across the two APIs.
+    Output: (group_col, hx, rn) with rn = 1..k ascending by hash."""
+    hx = F.substring(
+        F.md5(
+            F.concat_ws(":", F.col(column).cast("string"), F.lit(salt))
+        ),
+        1,
+        8,
+    )
+    base = (
+        df.where(F.col(column).isNotNull())
+        .select(F.col(group_col), hx.alias("hx"))
+        .distinct()
+    )
+    return topk_per_group(base, [group_col], [F.asc("hx")], k, rank_col="rn")
+
+
+def token_vocab_minima(
+    df: DataFrame,
+    token_col: str = "tokens",
+    group_col: str = "source",
+    k: int = 100,
+    salt: str = "kmv",
+) -> DataFrame:
+    """KMV vocabulary sketch per group over an array<int> token column.
+    The explode is map-side and feeds straight into the partial distinct
+    — no full token stream ever shuffles, only distinct hashes."""
+    ex = df.select(F.col(group_col), F.explode(F.col(token_col)).alias("_tok"))
+    return kmv_group_minima(ex, "_tok", group_col, k, salt)
+
+
+def kmv_jaccard_pairs(
+    minima: DataFrame, group_col: str = "source", k: int = 100
+) -> DataFrame:
+    """Pairwise Jaccard estimates from a kmv_group_minima relation.
+
+    For each unordered group pair (g_a < g_b): union the two sketches,
+    keep the k smallest distinct hashes (a valid sketch of the union),
+    and count how many of them sit in BOTH input sketches. Returns
+    (g_a, g_b, k_used, n_shared, jaccard_est) with
+    ``jaccard_est = n_shared / k_used`` rounded to 6 dp; ``k_used < k``
+    means both vocabularies were under k and the estimate is exact.
+    NULL group keys never form a pair (SQL ``<`` semantics), matching
+    the oracle. All stages after the sketch touch ≤ |pairs| × 2k rows.
+    """
+    m = minima.select(F.col(group_col).alias("g"), "hx")
+    gs = m.select("g").distinct()
+    pairs = (
+        gs.select(F.col("g").alias("g_a"))
+        .join(gs.select(F.col("g").alias("g_b")))
+        .where(F.col("g_a") < F.col("g_b"))
+    )
+    ua = pairs.join(m, F.col("g_a") == F.col("g")).select(
+        "g_a", "g_b", "hx",
+        F.lit(1).alias("in_a"), F.lit(0).alias("in_b"),
+    )
+    ub = pairs.join(m, F.col("g_b") == F.col("g")).select(
+        "g_a", "g_b", "hx",
+        F.lit(0).alias("in_a"), F.lit(1).alias("in_b"),
+    )
+    memb = (
+        ua.unionByName(ub)
+        .groupBy("g_a", "g_b", "hx")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    # each (g_a, g_b) holds <= 2k distinct hashes: a plain ranked window
+    # is safe here (the two-phase pattern already bounded the sketch)
+    w = Window.partitionBy("g_a", "g_b").orderBy("hx")
+    ranked = memb.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= k
+    )
+    return (
+        ranked.groupBy("g_a", "g_b")
+        .agg(
+            F.count("*").cast("bigint").alias("k_used"),
+            F.sum(
+                F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("n_shared"),
+        )
+        .withColumn(
+            "jaccard_est",
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.col("k_used").cast("double"),
+                6,
+            ),
+        )
+    )
