@@ -55,17 +55,13 @@ def token_bucket_counts(
     )
 
 
-def js_divergence_pairs(
+def _pair_bucket_terms(
     counts: DataFrame, group_col: str = "source"
 ) -> DataFrame:
-    """Pairwise JSD from a token_bucket_counts relation.
-
-    For each unordered group pair (g_a < g_b), with p and q the two
-    normalized bucket distributions and m = (p + q) / 2:
-    ``jsd = 0.5 Σ p ln(p/m) + 0.5 Σ q ln(q/m)`` (zero-mass terms
-    contribute nothing — no smoothing constant to tune). Returns
-    (g_a, g_b, n_buckets_union, jsd, jsd_norm) with jsd_norm = jsd/ln 2
-    in [0, 1], both rounded to 6 dp. NULL group keys never form a pair.
+    """(g_a, g_b, bucket, p, q, term) for every unordered group pair
+    and every bucket with mass on either side: the per-bucket JSD
+    contribution ``0.5 p ln(p/m) + 0.5 q ln(q/m)`` with m=(p+q)/2 —
+    non-negative by the log-sum inequality, summing to the pair's JSD.
     """
     c = counts.select(
         F.col(group_col).alias("g"), "bucket", F.col("cnt").cast("double")
@@ -112,20 +108,71 @@ def js_divergence_pairs(
             F.lit(0.0)
         )
     )
-    ln2 = 0.6931471805599453
+    return withtot.select(
+        "g_a", "g_b", "bucket",
+        p.alias("p"), q.alias("q"), term.alias("term"),
+    )
+
+
+_LN2 = 0.6931471805599453
+
+
+def js_divergence_pairs(
+    counts: DataFrame, group_col: str = "source"
+) -> DataFrame:
+    """Pairwise JSD from a token_bucket_counts relation.
+
+    For each unordered group pair (g_a < g_b), with p and q the two
+    normalized bucket distributions and m = (p + q) / 2:
+    ``jsd = 0.5 Σ p ln(p/m) + 0.5 Σ q ln(q/m)`` (zero-mass terms
+    contribute nothing — no smoothing constant to tune). Returns
+    (g_a, g_b, n_buckets_union, jsd, jsd_norm) with jsd_norm = jsd/ln 2
+    in [0, 1], both rounded to 6 dp. NULL group keys never form a pair.
+    """
     return (
-        withtot.groupBy("g_a", "g_b")
+        _pair_bucket_terms(counts, group_col)
+        .groupBy("g_a", "g_b")
         .agg(
             F.count("*").cast("bigint").alias("n_buckets_union"),
-            F.sum(term).alias("_jsd"),
+            F.sum("term").alias("_jsd"),
         )
         .select(
             "g_a",
             "g_b",
             "n_buckets_union",
             F.round(F.col("_jsd"), 6).alias("jsd"),
-            F.round(F.col("_jsd") / F.lit(ln2), 6).alias("jsd_norm"),
+            F.round(F.col("_jsd") / F.lit(_LN2), 6).alias("jsd_norm"),
         )
+    )
+
+
+def jsd_contributions(
+    counts: DataFrame, group_col: str = "source", top_n: int = 10
+) -> DataFrame:
+    """Drill-down for a hot pair: the top_n buckets contributing most
+    to each pair's JSD (which token ranges drove the divergence).
+    Two-phase per-(pair) top-k via topk.topk_per_group — each pair has
+    at most |buckets| rows, but the pair COUNT can be large, so the
+    ranked window still gets the house scale treatment. Output:
+    (g_a, g_b, bucket, p, q, term, rank), term/p/q rounded to 6 dp,
+    ties broken on ascending bucket id.
+    """
+    from .topk import topk_per_group
+
+    t = _pair_bucket_terms(counts, group_col)
+    top = topk_per_group(
+        t,
+        ["g_a", "g_b"],
+        [F.desc("term"), F.asc("bucket")],
+        k=top_n,
+        rank_col="rank",
+    )
+    return top.select(
+        "g_a", "g_b", "bucket",
+        F.round(F.col("p"), 6).alias("p"),
+        F.round(F.col("q"), 6).alias("q"),
+        F.round(F.col("term"), 6).alias("term"),
+        "rank",
     )
 
 

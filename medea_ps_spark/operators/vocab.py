@@ -71,6 +71,67 @@ def token_vocab_minima(
     return kmv_group_minima(ex, "_tok", group_col, k, salt)
 
 
+def kmv_jaccard_between(
+    minima_a: DataFrame,
+    minima_b: DataFrame,
+    group_col: str = "source",
+    k: int = 100,
+) -> DataFrame:
+    """Same-group vocabulary Jaccard BETWEEN two sketch relations —
+    the snapshot-drift variant of :func:`kmv_jaccard_pairs` ("did
+    source X's vocabulary move between yesterday's corpus and
+    today's?"). Because KMV sketches are tiny (k rows per group) and
+    mergeable, persist each snapshot's `kmv_group_minima` output (a
+    natural profilestore artifact) and diff sketches forever after
+    without touching either corpus again.
+
+    Only groups present in BOTH relations are compared (a group with
+    no counterpart has nothing to drift against). Same estimator as
+    the pairwise form: k smallest of the union, fraction present in
+    both sketches. Output: (group_col, k_used, n_shared, jaccard_est).
+    """
+    a = minima_a.select(
+        F.col(group_col).alias("g"), "hx",
+        F.lit(1).alias("in_a"), F.lit(0).alias("in_b"),
+    )
+    b = minima_b.select(
+        F.col(group_col).alias("g"), "hx",
+        F.lit(0).alias("in_a"), F.lit(1).alias("in_b"),
+    )
+    both = (
+        a.select("g").distinct().join(b.select("g").distinct(), "g")
+    )
+    memb = (
+        a.unionByName(b)
+        .join(F.broadcast(both), "g")
+        .groupBy("g", "hx")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    w = Window.partitionBy("g").orderBy("hx")
+    ranked = memb.withColumn("rn", F.row_number().over(w)).where(
+        F.col("rn") <= k
+    )
+    return (
+        ranked.groupBy("g")
+        .agg(
+            F.count("*").cast("bigint").alias("k_used"),
+            F.sum(
+                F.when((F.col("in_a") == 1) & (F.col("in_b") == 1), 1)
+                .otherwise(0)
+            ).cast("bigint").alias("n_shared"),
+        )
+        .withColumn(
+            "jaccard_est",
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.col("k_used").cast("double"),
+                6,
+            ),
+        )
+        .withColumnRenamed("g", group_col)
+    )
+
+
 def kmv_jaccard_pairs(
     minima: DataFrame, group_col: str = "source", k: int = 100
 ) -> DataFrame:

@@ -162,3 +162,29 @@ def test_duckdb_twin(spark, tmp_path):
         assert g[:3] == e[:3]
         assert g[3] == pytest.approx(e[3], abs=1e-6)
         assert g[4] == pytest.approx(e[4], abs=1e-6)
+
+
+def test_jsd_contributions_sum_and_rank(spark):
+    from medea_ps_spark.operators.divergence import (
+        jsd_contributions,
+        token_bucket_counts,
+    )
+
+    data = [("a", [1, 1, 1, 2, 3]), ("b", [1, 2, 2, 2, 4])]
+    counts = token_bucket_counts(_seq_df(spark, data), n_buckets=None)
+    contrib = sorted(
+        jsd_contributions(counts, top_n=10).collect(),
+        key=lambda r: r["rank"],
+    )
+    pair = js_divergence_pairs(counts).collect()[0]
+    # terms are non-negative, ranked descending, and sum to the JSD
+    terms = [r["term"] for r in contrib]
+    assert all(t >= 0 for t in terms)
+    assert terms == sorted(terms, reverse=True)
+    assert sum(terms) == pytest.approx(pair["jsd"], abs=5e-6)
+    # a bucket with mass on only one side (3 or 4) dominates
+    assert contrib[0]["bucket"] in (3, 4)
+    # top_n truncation
+    top2 = jsd_contributions(counts, top_n=2).collect()
+    assert len(top2) == 2
+    assert {r["rank"] for r in top2} == {1, 2}

@@ -170,3 +170,44 @@ def test_duckdb_twin(spark, tmp_path):
     """
     exp = duckdb.sql(sql).fetchall()
     assert got == [tuple(r) for r in exp]
+
+
+def test_jaccard_between_snapshots(spark):
+    from medea_ps_spark.operators.vocab import kmv_jaccard_between
+
+    snap_a = [("a", [1, 2, 3, 4]), ("b", [10, 11]), ("only_a", [7])]
+    snap_b = [("a", [3, 4, 5, 6]), ("b", [10, 11]), ("only_b", [9])]
+    k = 32
+    ma = token_vocab_minima(_seq_df(spark, snap_a), k=k)
+    mb = token_vocab_minima(_seq_df(spark, snap_b), k=k)
+    got = {
+        r["source"]: (r["k_used"], r["n_shared"], r["jaccard_est"])
+        for r in kmv_jaccard_between(ma, mb, k=k).collect()
+    }
+    # groups without a counterpart are not compared
+    assert set(got) == {"a", "b"}
+    # under k the estimate is exact: a {1,2,3,4} vs {3,4,5,6} -> 2/6
+    assert got["a"] == (6, 2, round(2 / 6, 6))
+    assert got["b"] == (2, 2, 1.0)  # identical vocabulary
+
+
+def test_jaccard_between_matches_pairwise_on_disjoint_labels(spark):
+    """Relabelling snapshot B's groups and using the PAIRWISE form
+    must agree with the between-form (same estimator)."""
+    from medea_ps_spark.operators.vocab import kmv_jaccard_between
+
+    k = 25
+    data_a = [("g", list(range(0, 300, 3)))]
+    data_b = [("g", list(range(0, 300, 5)))]
+    ma = token_vocab_minima(_seq_df(spark, data_a), k=k)
+    mb = token_vocab_minima(_seq_df(spark, data_b), k=k)
+    between = kmv_jaccard_between(ma, mb, k=k).collect()[0]
+    pair = kmv_jaccard_pairs(
+        ma.selectExpr("'x' AS source", "hx", "rn").unionByName(
+            mb.selectExpr("'y' AS source", "hx", "rn")
+        ),
+        k=k,
+    ).collect()[0]
+    assert (between["k_used"], between["n_shared"]) == (
+        pair["k_used"], pair["n_shared"]
+    )
