@@ -56,17 +56,23 @@ def token_bucket_counts(
 
 
 def _pair_bucket_terms(
-    counts: DataFrame, group_col: str = "source"
+    counts: DataFrame, group_col: str = "source", cache: bool = True
 ) -> DataFrame:
     """(g_a, g_b, bucket, p, q, term) for every unordered group pair
     and every bucket with mass on either side: the per-bucket JSD
     contribution ``0.5 p ln(p/m) + 0.5 q ln(q/m)`` with m=(p+q)/2 —
     non-negative by the log-sum inequality, summing to the pair's JSD.
+
+    The count relation is referenced four times (totals + group list +
+    both pair sides); ``cache=True`` persists it — |groups| × buckets
+    bounded rows — so the corpus-scanning histogram runs ONCE.
     """
     c = counts.select(
         F.col(group_col).alias("g"), "bucket", F.col("cnt").cast("double")
         .alias("cnt")
     )
+    if cache:
+        c = c.persist()
     tot = c.groupBy("g").agg(F.sum("cnt").alias("tot"))
     gs = c.select("g").distinct()
     pairs = (
@@ -118,7 +124,7 @@ _LN2 = 0.6931471805599453
 
 
 def js_divergence_pairs(
-    counts: DataFrame, group_col: str = "source"
+    counts: DataFrame, group_col: str = "source", cache: bool = True
 ) -> DataFrame:
     """Pairwise JSD from a token_bucket_counts relation.
 
@@ -130,7 +136,7 @@ def js_divergence_pairs(
     in [0, 1], both rounded to 6 dp. NULL group keys never form a pair.
     """
     return (
-        _pair_bucket_terms(counts, group_col)
+        _pair_bucket_terms(counts, group_col, cache=cache)
         .groupBy("g_a", "g_b")
         .agg(
             F.count("*").cast("bigint").alias("n_buckets_union"),
@@ -147,7 +153,10 @@ def js_divergence_pairs(
 
 
 def jsd_contributions(
-    counts: DataFrame, group_col: str = "source", top_n: int = 10
+    counts: DataFrame,
+    group_col: str = "source",
+    top_n: int = 10,
+    cache: bool = True,
 ) -> DataFrame:
     """Drill-down for a hot pair: the top_n buckets contributing most
     to each pair's JSD (which token ranges drove the divergence).
@@ -159,7 +168,7 @@ def jsd_contributions(
     """
     from .topk import topk_per_group
 
-    t = _pair_bucket_terms(counts, group_col)
+    t = _pair_bucket_terms(counts, group_col, cache=cache)
     top = topk_per_group(
         t,
         ["g_a", "g_b"],

@@ -76,6 +76,7 @@ def kmv_jaccard_between(
     minima_b: DataFrame,
     group_col: str = "source",
     k: int = 100,
+    cache: bool = True,
 ) -> DataFrame:
     """Same-group vocabulary Jaccard BETWEEN two sketch relations —
     the snapshot-drift variant of :func:`kmv_jaccard_pairs` ("did
@@ -98,6 +99,11 @@ def kmv_jaccard_between(
         F.col(group_col).alias("g"), "hx",
         F.lit(0).alias("in_a"), F.lit(1).alias("in_b"),
     )
+    if cache:
+        # each sketch is referenced twice (group list + union side);
+        # persisting the tiny |groups| x k relations keeps the
+        # corpus-scanning derivations single-execution
+        a, b = a.persist(), b.persist()
     both = (
         a.select("g").distinct().join(b.select("g").distinct(), "g")
     )
@@ -133,7 +139,10 @@ def kmv_jaccard_between(
 
 
 def kmv_jaccard_pairs(
-    minima: DataFrame, group_col: str = "source", k: int = 100
+    minima: DataFrame,
+    group_col: str = "source",
+    k: int = 100,
+    cache: bool = True,
 ) -> DataFrame:
     """Pairwise Jaccard estimates from a kmv_group_minima relation.
 
@@ -145,8 +154,16 @@ def kmv_jaccard_pairs(
     means both vocabularies were under k and the estimate is exact.
     NULL group keys never form a pair (SQL ``<`` semantics), matching
     the oracle. All stages after the sketch touch ≤ |pairs| × 2k rows.
+
+    The sketch relation is referenced three times (group list + both
+    pair sides); ``cache=True`` (default) persists it — |groups| × k
+    tiny rows — so the corpus-scanning sketch derivation runs ONCE
+    instead of three times. Pass ``cache=False`` if the caller already
+    materialized the sketches (e.g. read back from a profile store).
     """
     m = minima.select(F.col(group_col).alias("g"), "hx")
+    if cache:
+        m = m.persist()
     gs = m.select("g").distinct()
     pairs = (
         gs.select(F.col("g").alias("g_a"))

@@ -475,3 +475,50 @@ def test_violation_sample_two_exchanges_one_scan(spark):
     assert sum("_vio_pid" in s for s in segs) == 1, plan
     assert all("constraint_id" in s for s in segs), plan
     assert plan.count("Scan parquet") == 1, plan
+
+
+def test_vocab_minima_is_two_phase_topk_over_one_explode(spark):
+    """The KMV sketch derivation must be: one explode -> partial
+    distinct -> two-phase per-group top-k. No cartesian anywhere."""
+    from medea_ps_spark.operators.vocab import token_vocab_minima
+
+    df = spark.read.parquet("/root/repo/tests/fixtures/sequences_small.parquet")
+    plan = plan_of(token_vocab_minima(df, k=50))
+    assert plan.count("Generate explode") == 1, plan
+    assert "_topk_pid" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    # partial+final distinct: two HashAggregates before the windows
+    assert plan.count("HashAggregate") >= 2, plan
+
+
+def test_vocab_pairs_reuse_cached_sketch(spark):
+    """kmv_jaccard_pairs references the sketch three times; with the
+    default cache=True the corpus-scanning derivation must appear as
+    an InMemory reuse, not three explode subtrees."""
+    from medea_ps_spark.operators.vocab import (
+        kmv_jaccard_pairs,
+        token_vocab_minima,
+    )
+
+    df = spark.read.parquet("/root/repo/tests/fixtures/sequences_small.parquet")
+    out = kmv_jaccard_pairs(token_vocab_minima(df, k=30), k=30)
+    plan = plan_of(out)
+    # every reference to the sketch must resolve to a cache scan (the
+    # explode text below InMemoryRelation is the cached relation's
+    # description, not live execution); exact site counts are brittle
+    # (Spark's cache manager also substitutes plan-equal subtrees)
+    assert plan.count("InMemoryTableScan") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_divergence_counts_cached_and_totals_broadcast(spark):
+    """The (group,bucket) histogram must compute once (cached reuse)
+    and the per-group totals join must be a broadcast."""
+    from medea_ps_spark.operators.divergence import source_divergence_matrix
+
+    df = spark.read.parquet("/root/repo/tests/fixtures/sequences_small.parquet")
+    plan = plan_of(source_divergence_matrix(df, n_buckets=64))
+    # reuse sites: totals, group list, and both pair sides
+    assert plan.count("InMemoryTableScan") >= 4, plan
+    assert "BroadcastHashJoin" in plan, plan
+    assert "CartesianProduct" not in plan, plan
