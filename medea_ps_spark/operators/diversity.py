@@ -222,3 +222,86 @@ def mmr_select(
         )
 
     return pool.groupBy(LIST_COL).applyInPandas(pick, schema=out_schema)
+
+
+def selection_audit(
+    df: DataFrame,
+    selected: DataFrame,
+    centroids: np.ndarray,
+    quality_col: str,
+    id_col: str = "doc_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Audit ANY selection (MMR, top-k, random) against the corpus it
+    came from, per IVF cell: coverage, captured quality mass, and the
+    selection's internal redundancy — without ever joining selected
+    pairs. Redundancy uses the unit-vector identity
+    ``Σ_{i≠j} u_i·u_j = |Σu|² − n``: the mean pairwise cosine of the
+    selected set falls out of ONE elementwise vector sum (via
+    embdrift.group_centroids on the selection), so the audit is two
+    aggregates and a broadcast membership join regardless of corpus
+    size. Output per cell: n_total, n_selected, quality_share
+    (selected Σquality / cell Σquality), mean_pairwise_cos (NULL for
+    cells with <2 selected).
+    """
+    from .embdrift import group_centroids
+
+    base = assign_lists(
+        df.where(F.col(vec_col).isNotNull() & F.col(id_col).isNotNull()),
+        centroids,
+        vec_col,
+    )
+    sel_ids = selected.select(F.col(id_col)).distinct()
+    flagged = base.join(
+        F.broadcast(sel_ids.withColumn("_sel", F.lit(1))), id_col, "left"
+    )
+    per_cell = flagged.groupBy(LIST_COL).agg(
+        F.count("*").alias("n_total"),
+        F.sum(F.coalesce(F.col("_sel"), F.lit(0))).cast("bigint")
+        .alias("n_selected"),
+        F.sum(F.col(quality_col).cast("double")).alias("_q_all"),
+        F.sum(
+            F.when(F.col("_sel") == 1, F.col(quality_col).cast("double"))
+            .otherwise(F.lit(0.0))
+        ).alias("_q_sel"),
+    )
+    sel_cents = group_centroids(
+        flagged.where(F.col("_sel") == 1),
+        vec_col=vec_col,
+        group_col=LIST_COL,
+        normalize=True,
+    ).select(
+        F.col(LIST_COL),
+        F.col("n_vectors").alias("_n_sel_vec"),
+        F.col("centroid"),
+    )
+    norm_sq = F.aggregate(
+        F.transform(F.col("centroid"), lambda x: x * x),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    n = F.col("_n_sel_vec").cast("double")
+    redundancy = sel_cents.select(
+        F.col(LIST_COL),
+        F.when(
+            F.col("_n_sel_vec") >= 2,
+            (n * n * norm_sq - n) / (n * (n - F.lit(1.0))),
+        ).alias("mean_pairwise_cos"),
+    )
+    return (
+        per_cell.join(redundancy, LIST_COL, "left")
+        .select(
+            F.col(LIST_COL),
+            "n_total",
+            "n_selected",
+            F.round(
+                F.when(
+                    F.col("_q_all") != 0, F.col("_q_sel") / F.col("_q_all")
+                ),
+                6,
+            ).alias("quality_share"),
+            F.round(F.col("mean_pairwise_cos"), 6).alias(
+                "mean_pairwise_cos"
+            ),
+        )
+    )

@@ -190,3 +190,72 @@ def test_null_rows_excluded_and_k_overflow(spark):
     sel = mmr_select(df, _centroids(), k=100, quality_col="quality")
     got = {r["doc_id"] for r in sel.collect()}
     assert got == {r[0] for r in rows}  # all 9 real rows, null excluded
+
+
+def test_selection_audit_matches_numpy(spark):
+    from medea_ps_spark.operators.diversity import selection_audit
+
+    rows = _rows(n=60, seed=13)
+    cents = _centroids()
+    df = _df(spark, rows)
+    sel = mmr_select(df, cents, k=12, quality_col="quality", lam=0.5)
+    audit = {
+        r["ivf_list"]: r
+        for r in selection_audit(
+            df, sel, cents, quality_col="quality"
+        ).collect()
+    }
+    # numpy reference: same assignment, same metrics
+    cnp = np.asarray(cents)
+    sel_ids = {r["doc_id"] for r in sel.collect()}
+    by_cell = {}
+    for doc_id, vec, q in rows:
+        cell = int(np.argmax(cnp @ np.asarray(vec)))
+        by_cell.setdefault(cell, []).append((doc_id, np.asarray(vec), q))
+    assert set(audit) == set(by_cell)
+    for cell, members in by_cell.items():
+        got = audit[cell]
+        chosen = [(d, v, q) for d, v, q in members if d in sel_ids]
+        assert got["n_total"] == len(members)
+        assert got["n_selected"] == len(chosen)
+        q_share = sum(q for _, _, q in chosen) / sum(q for _, _, q in members)
+        assert got["quality_share"] == pytest.approx(q_share, abs=1e-6)
+        if len(chosen) >= 2:
+            units = np.stack([v / np.linalg.norm(v) for _, v, _ in chosen])
+            sims = units @ units.T
+            n = len(chosen)
+            exp = (sims.sum() - n) / (n * (n - 1))  # mean off-diagonal
+            assert got["mean_pairwise_cos"] == pytest.approx(exp, abs=1e-6)
+        else:
+            assert got["mean_pairwise_cos"] is None
+
+
+def test_audit_redundancy_orders_mmr_below_topk(spark):
+    """The audit's redundancy metric must rank a diversity-weighted
+    selection below pure top-quality on the clone fixture."""
+    from medea_ps_spark.operators.diversity import selection_audit
+
+    rng = np.random.default_rng(1)
+    rows = []
+    base = rng.normal(0, 0.02, DIM)
+    base[0] += 1.0
+    for i in range(15):
+        v = base + rng.normal(0, 0.005, DIM)
+        rows.append((f"clone{i:02d}", [float(x) for x in v], 0.9 + i * 1e-4))
+    for i in range(15):
+        v = rng.normal(0, 0.02, DIM)
+        v[3 + i % 3] += 1.0
+        rows.append((f"spread{i:02d}", [float(x) for x in v], 0.6))
+    cents = _centroids()
+    df = _df(spark, rows)
+
+    def redundancy(lam):
+        sel = mmr_select(df, cents, k=8, quality_col="quality", lam=lam)
+        rows_ = selection_audit(df, sel, cents, "quality").collect()
+        vals = [
+            r["mean_pairwise_cos"] for r in rows_
+            if r["mean_pairwise_cos"] is not None and r["n_selected"] >= 2
+        ]
+        return max(vals) if vals else 0.0
+
+    assert redundancy(0.3) < redundancy(1.0)
