@@ -47,7 +47,13 @@ def group_centroids(
     first, so the centroid is a pure direction summary and its own
     norm measures the group's angular coherence (1.0 = all vectors
     parallel). Zero vectors get norm clamped to eps — they contribute
-    a zero direction rather than NaNs. NULL vectors are excluded."""
+    a zero direction rather than NaNs. NULL vectors are excluded.
+
+    Assumes a fixed embedding dimension per table (the input_hint
+    contract): with ragged arrays, positions beyond a short vector
+    would silently average over fewer rows. Enforce up front with a
+    SizeEquals constraint (plans/constraints.py) when provenance is
+    untrusted."""
     v = F.col(vec_col)
     # materialize the norm as its own column so it computes once per
     # row, not once per element inside the transform lambda
