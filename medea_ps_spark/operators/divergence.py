@@ -55,6 +55,34 @@ def token_bucket_counts(
     )
 
 
+def column_bucket_counts(
+    df: DataFrame,
+    column: str,
+    group_col: str = "source",
+    n_buckets: Optional[int] = None,
+) -> DataFrame:
+    """token_bucket_counts' scalar-column twin: (group, bucket, cnt)
+    over any categorical or integral column, so js_divergence_pairs /
+    jsd_contributions work on e.g. the lang or n_tok distribution per
+    source. With ``n_buckets`` the value is hash-folded (sign-safe
+    pmod of a 64-bit hash — works for strings too); without, the
+    bucket is the raw value (only sane for low-cardinality columns).
+    NULL values are excluded (they have no bucket on either side)."""
+    v = F.col(column)
+    # no-fold branch keeps the raw value (any type groups fine);
+    # casting strings to bigint would raise under ANSI mode
+    bucket = (
+        F.pmod(F.xxhash64(v), F.lit(n_buckets)) if n_buckets is not None
+        else v
+    )
+    return (
+        df.where(v.isNotNull())
+        .select(F.col(group_col), bucket.alias("bucket"))
+        .groupBy(group_col, "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
 def _pair_bucket_terms(
     counts: DataFrame, group_col: str = "source", cache: bool = True
 ) -> DataFrame:

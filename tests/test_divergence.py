@@ -188,3 +188,24 @@ def test_jsd_contributions_sum_and_rank(spark):
     top2 = jsd_contributions(counts, top_n=2).collect()
     assert len(top2) == 2
     assert {r["rank"] for r in top2} == {1, 2}
+
+
+def test_column_bucket_counts_scalar_and_string(spark):
+    from medea_ps_spark.operators.divergence import column_bucket_counts
+
+    df = spark.createDataFrame(
+        [("a", "en", 10), ("a", "en", 12), ("a", "de", 11),
+         ("b", "en", 10), ("b", "fr", 99), ("b", None, 10)],
+        "source string, lang string, n_tok int",
+    )
+    # raw string categories: identical lang mix -> small JSD, NULL excluded
+    lang_counts = column_bucket_counts(df, "lang")
+    rows = {(r["source"], r["bucket"]): r["cnt"] for r in lang_counts.collect()}
+    assert rows[("a", "en")] == 2 and ("b", None) not in rows
+    jsd = js_divergence_pairs(lang_counts).collect()[0]
+    assert 0.0 < jsd["jsd"] < LN2
+    # hash-folded integral column: deterministic fold, full pipeline runs
+    ncounts = column_bucket_counts(df, "n_tok", n_buckets=8)
+    assert all(0 <= r["bucket"] < 8 for r in ncounts.collect())
+    out = js_divergence_pairs(ncounts).collect()
+    assert len(out) == 1 and out[0]["jsd"] >= 0.0
