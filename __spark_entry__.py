@@ -612,6 +612,57 @@ def q_text_normalize(spark, sf_dir):
     )
 
 
+# planted HTML wrappers keyed by doc_id % 6 — shared between the Spark
+# query and the DuckDB twin (no single quotes, so they embed verbatim
+# in the SQL literal). Covers: plain passthrough, full page with
+# script/style/comment + title/head block breaks, inline tags,
+# entity decoding (incl. the &amp;lt; single-decode trap), list-item
+# breaks, and <br> variants.
+_HTML_PRE = [
+    "",
+    "<html><head><title>Doc Title</title><script>var x = 1 < 2;"
+    "</script><style>p { color: red }</style></head><body><p>",
+    '<div class="main"><b>',
+    "",
+    "<ul><li>",
+    "intro<br/>",
+]
+_HTML_POST = [
+    "",
+    "</p></body></html>",
+    "</b><!-- hidden comment --></div>",
+    " &amp; more &lt;i&gt;escaped&lt;/i&gt;&nbsp;end",
+    "</li><li>second item</li></ul>",
+    "<br>outro",
+]
+
+
+def q_text_extract_html(spark, sf_dir):
+    """HTML → text extraction under the oracle (functions/html.py +
+    operators/extract.py): deterministic markup templates planted by
+    doc_id % 6 around the corpus text, then the REAL operator —
+    extract_text (script/style/comment drop, block-tag → newline,
+    tag strip, basic-entity decode, whitespace squeeze; every step a
+    codegen JVM regex). The DuckDB twin replants with the same CASE
+    and runs the identical RE2 patterns + replace chain, pinning the
+    full extracted strings. Replaces the text_token_stats row —
+    token counting stays pytest-covered (tests/test_text_functions.py)
+    and q_text_token_stats stays callable."""
+    from medea_ps_spark.operators.extract import extract_text
+
+    df = _docs(spark, sf_dir)
+    mod = (F.col("doc_id") % 6).cast("int") + 1
+    pre = F.element_at(F.array(*[F.lit(s) for s in _HTML_PRE]), mod)
+    post = F.element_at(F.array(*[F.lit(s) for s in _HTML_POST]), mod)
+    planted = df.withColumn("html", F.concat(pre, F.col("text"), post))
+    out = extract_text(planted, html_col="html", out_col="extracted")
+    return out.select(
+        "doc_id",
+        "extracted",
+        F.length("extracted").cast("int").alias("n_chars_out"),
+    )
+
+
 def q_text_fingerprints(spark, sf_dir):
     df = _docs(spark, sf_dir)
     return (
@@ -999,6 +1050,39 @@ def q_token_span_dedup(spark, sf_dir):
         F.md5(
             F.concat_ws(",", F.col("tokens").cast("array<string>"))
         ).alias("tok_md5"),
+    )
+
+
+def q_vocab_truncate(spark, sf_dir):
+    """Vocabulary truncation / OOV remap (operators/oov.py) over the
+    sequence fixture: corpus top-20000 token ids by the deterministic
+    (count desc, token asc) total order — the fixture's near-uniform
+    counts make the K-boundary tie-heavy, so the total order IS the
+    thing under test — every other occurrence rewritten to the unk id
+    in ONE broadcast-mask mapInPandas pass (no join, no shuffle).
+    Emits an md5 pin of each rewritten array plus the per-row OOV
+    count; the DuckDB twin recomputes the top-K and maps via a
+    LEFT JOIN over lateral-unnested positions. Replaces the
+    events_user_skew row — skew_report stays pytest-covered
+    (tests/test_text_functions.py) and q_events_user_skew stays
+    callable."""
+    from medea_ps_spark.operators.oov import vocab_truncate
+
+    df = spark.read.parquet(SEQ_FIXTURE)
+    out = vocab_truncate(
+        df, k=20000, unk_id=-999999, out_col="tokens_trunc"
+    )
+    return out.select(
+        "doc_id",
+        "source",
+        F.when(F.col("tokens_trunc").isNull(), F.lit(None).cast("string"))
+        .otherwise(
+            F.md5(
+                F.concat_ws(",", F.col("tokens_trunc").cast("array<string>"))
+            )
+        )
+        .alias("tok_md5"),
+        F.col("n_oov").cast("int").alias("n_oov"),
     )
 
 
@@ -1548,7 +1632,20 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     quantiles_tdigest; q_ stays callable). The newcomers put the KMV
     k-minima-union vocabulary Jaccard (operators/vocab.py) and the
     pairwise token-distribution JSD matrix (operators/divergence.py)
-    under the oracle."""
+    under the oracle.
+
+    Round-5 session 16 folded two diagnostics for two new pipeline
+    stages: text_token_stats → text_extract_html (token counting
+    stays pytest-covered in tests/test_text_functions.py and inside
+    the text_quality row's stats; q_ stays callable) and
+    events_user_skew → vocab_truncate (skew_report keeps its own
+    pytest coverage incl. tie determinism; the two-phase top-k
+    primitive it demos stays driver-covered via dsir_resample). The
+    newcomers put HTML → text extraction (functions/html.py RE2-safe
+    regex chain + entity decode, planted-markup oracle pinning full
+    extracted strings) and vocabulary truncation / OOV remap
+    (operators/oov.py broadcast-mask rewrite with the deterministic
+    (count desc, token asc) top-K boundary) under the oracle."""
     return {
         "validate_violations": q_validate_violations,
         "validate_verdicts": q_validate_verdicts,
@@ -1572,7 +1669,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf": q_ann_ivf,
         "embedding_near_dups": q_embedding_near_dups,
         "token_budget_sample": q_token_budget_sample,
-        "text_token_stats": q_text_token_stats,
+        "text_extract_html": q_text_extract_html,
         "text_quality": q_text_quality,
         "text_normalize": q_text_normalize,
         "text_fingerprints": q_text_fingerprints,
@@ -1582,7 +1679,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validate_violations_sample": q_validate_violations_sample,
         "dsir_resample": q_dsir_resample,
         "events_props_health": q_events_props_health,
-        "events_user_skew": q_events_user_skew,
+        "vocab_truncate": q_vocab_truncate,
         "token_contamination": q_token_contamination,
         "token_span_dedup": q_token_span_dedup,
         "text_lm_score": q_text_lm_score,
@@ -2152,10 +2249,60 @@ def oracle_sql() -> dict[str, str]:
                 WHEN 'wiki' THEN 1000000000
                 ELSE 0 END
         """,
-        "text_token_stats": f"""
-            SELECT lang, CAST(sum({_NTOK}) AS BIGINT) AS total_tokens,
-                   round(avg(CAST({_NTOK} AS DOUBLE)), 4) AS avg_tokens
-            FROM documents GROUP BY lang
+        "text_extract_html": f"""
+            WITH planted AS (
+              SELECT doc_id,
+                     CASE CAST(doc_id % 6 AS INT)
+                       WHEN 1 THEN '<html><head><title>Doc Title</title><script>var x = 1 < 2;</script><style>p {{ color: red }}</style></head><body><p>'
+                       WHEN 2 THEN '<div class="main"><b>'
+                       WHEN 4 THEN '<ul><li>'
+                       WHEN 5 THEN 'intro<br/>'
+                       ELSE '' END
+                     || text ||
+                     CASE CAST(doc_id % 6 AS INT)
+                       WHEN 1 THEN '</p></body></html>'
+                       WHEN 2 THEN '</b><!-- hidden comment --></div>'
+                       WHEN 3 THEN ' &amp; more &lt;i&gt;escaped&lt;/i&gt;&nbsp;end'
+                       WHEN 4 THEN '</li><li>second item</li></ul>'
+                       WHEN 5 THEN '<br>outro'
+                       ELSE '' END AS html
+              FROM documents
+            ), stripped AS (
+              SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(
+                        regexp_replace(html,
+                          '(?is)<script\\b[^>]*>.*?</script\\s*>', '', 'g'),
+                        '(?is)<style\\b[^>]*>.*?</style\\s*>', '', 'g'),
+                      '(?s)<!--.*?-->', '', 'g'),
+                    '(?i)<(?:br\\s*/?|/(?:p|div|li|h[1-6]|tr|table|ul|ol|blockquote|pre|section|article|header|footer|head|title|body|nav|aside))\\s*>',
+                    chr(10), 'g'),
+                  '(?s)<[^>]*>', '', 'g') AS t
+              FROM planted
+            ), unescaped AS (
+              SELECT doc_id,
+                replace(replace(replace(replace(replace(replace(replace(
+                  t, '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+                  '&#39;', chr(39)), '&apos;', chr(39)), '&nbsp;', ' '),
+                  '&amp;', '&') AS t
+              FROM stripped
+            ), squeezed AS (
+              SELECT doc_id,
+                regexp_replace(
+                  regexp_replace(
+                    regexp_replace(
+                      regexp_replace(t,
+                        '[ \\t\\x0B\\f\\r\\x{{00A0}}]+', ' ', 'g'),
+                      ' ?\\n ?', chr(10), 'g'),
+                    '\\n{{3,}}', chr(10) || chr(10), 'g'),
+                  '^[ \\n]+|[ \\n]+$', '', 'g') AS extracted
+              FROM unescaped
+            )
+            SELECT doc_id, extracted,
+                   CAST(length(extracted) AS INT) AS n_chars_out
+            FROM squeezed
         """,
         "text_quality": f"""
             SELECT source, count(*) AS n_docs,
@@ -2292,19 +2439,37 @@ def oracle_sql() -> dict[str, str]:
                              THEN 1.0 ELSE 0.0 END), 6) AS quarantine_rate
             FROM events GROUP BY event_type
         """,
-        "events_user_skew": """
-            WITH counts AS (
-              SELECT user_id AS key, count(*) AS n_rows
-              FROM events GROUP BY user_id
-            ), t AS (SELECT sum(n_rows) AS total FROM counts),
-            ranked AS (
-              SELECT key, n_rows,
-                     row_number() OVER (ORDER BY n_rows DESC, key ASC) AS rank
-              FROM counts
+        "vocab_truncate": f"""
+            WITH base AS (
+              SELECT row_number() OVER () AS rid, doc_id, source, tokens
+              FROM read_parquet('{SEQ_FIXTURE}')
+            ), freq AS (
+              SELECT t, count(*) AS c
+              FROM (SELECT unnest(tokens) AS t FROM base) GROUP BY t
+            ), topk AS (
+              SELECT t FROM freq ORDER BY c DESC, t ASC LIMIT 20000
+            ), ex AS (
+              SELECT rid, unnest(tokens) AS x,
+                     unnest(range(1, len(tokens) + 1)) AS pos
+              FROM base
+            ), mapped AS (
+              SELECT e.rid, e.pos,
+                     CASE WHEN tk.t IS NULL THEN -999999 ELSE e.x END AS nx,
+                     CASE WHEN tk.t IS NULL THEN 1 ELSE 0 END AS oov
+              FROM ex e LEFT JOIN topk tk ON e.x = tk.t
+            ), agg AS (
+              SELECT rid,
+                     md5(string_agg(CAST(nx AS VARCHAR), ',' ORDER BY pos))
+                       AS tok_md5,
+                     CAST(sum(oov) AS INT) AS n_oov
+              FROM mapped GROUP BY rid
             )
-            SELECT key, n_rows,
-                   round(CAST(n_rows AS DOUBLE) / total, 6) AS share, rank
-            FROM ranked, t WHERE rank <= 10
+            SELECT b.doc_id, b.source,
+                   CASE WHEN b.tokens IS NULL THEN NULL
+                        WHEN len(b.tokens) = 0 THEN md5('')
+                        ELSE a.tok_md5 END AS tok_md5,
+                   CAST(coalesce(a.n_oov, 0) AS INT) AS n_oov
+            FROM base b LEFT JOIN agg a USING (rid)
         """,
         "corpus_clean": f"""
             WITH ranked AS (

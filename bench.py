@@ -303,7 +303,7 @@ def bench_queries(spark) -> dict:
         "drift_chi2", "medea_validate_events",
         "dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
         "ann_topk", "ann_lsh", "text_quality",
-        "stats_bounds", "events_user_skew", "seq_validation",
+        "stats_bounds", "vocab_truncate", "seq_validation",
         # round-3 operators
         "events_asof", "events_sessions_detail", "seq_packing",
         "validate_estimate",
@@ -317,6 +317,7 @@ def bench_queries(spark) -> dict:
         "validate_violations_sample", "dsir_resample",
         "token_budget_sample", "text_normalize",
         "source_vocab_overlap", "source_divergence",
+        "text_extract_html",
     ]
     qs = em.queries()
     out = {}

@@ -135,6 +135,53 @@ def windowed_violation_exemplars(
     )
 
 
+def windowed_oov_rate(
+    stream_df: DataFrame,
+    vocab_df: DataFrame,
+    tokens_col: str = "tokens",
+    vocab_col: str = "token_id",
+    ts_col: str = "ts",
+    window: str = "1 minute",
+    watermark: str = "2 minutes",
+    partition_col: Optional[str] = "source",
+) -> DataFrame:
+    """Per-window OOV rate of a token stream against a vocabulary
+    dimension (e.g. ``tokenize.bpe_vocab_df``) — the ingest-time twin
+    of ``operators/oov.oov_stats``: monitors whether arriving shards
+    were tokenized with the vocabulary the pipeline validates against,
+    BEFORE they hit the batch table.
+
+    Shape: explode tokens → stream-static LEFT JOIN with the vocab dim
+    (natively supported; Spark broadcasts the small side) → windowed
+    counts with watermarked late-data handling. No state beyond the
+    windowed aggregate; the dim stays a DataFrame (no driver collect,
+    unlike the batch operator's bounded mask — a streaming query can't
+    re-collect a changing dim per microbatch anyway).
+
+    Output: (window[, partition_col], n_tokens, n_oov, oov_rate).
+    Rows with NULL/empty token arrays contribute nothing (rate is per
+    TOKEN, not per row)."""
+    dim = vocab_df.select(F.col(vocab_col).alias("_vocab_token")).distinct()
+    ex = stream_df.withWatermark(ts_col, watermark).select(
+        F.col(ts_col),
+        *([F.col(partition_col)] if partition_col else []),
+        F.explode(F.col(tokens_col)).alias("_tok"),
+    )
+    joined = ex.join(dim, ex["_tok"] == dim["_vocab_token"], "left")
+    keys = [F.window(F.col(ts_col), window).alias("window")]
+    if partition_col:
+        keys.append(F.col(partition_col))
+    return joined.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.col("_vocab_token").isNull().cast("bigint")).alias("n_oov"),
+        F.round(
+            F.sum(F.col("_vocab_token").isNull().cast("bigint"))
+            / F.greatest(F.count(F.lit(1)), F.lit(1)),
+            6,
+        ).alias("oov_rate"),
+    )
+
+
 def windowed_chi2_drift(
     stream_df: DataFrame,
     profile,

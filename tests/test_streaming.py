@@ -555,3 +555,52 @@ def test_windowed_violation_exemplars_streaming(spark, stream_input, tmp_path):
             (d, o) for _k, d, o in sorted(lanes.values())
         ]
         assert [tuple(e) for e in got[kk]["exemplars"]] == want
+
+
+def test_windowed_oov_rate_streaming(spark, tmp_path):
+    """Stream-static vocab join OOV monitor: per-source token totals and
+    OOV counts against a fixed vocabulary dimension."""
+    import os
+
+    from medea_ps_spark.streaming.validate_stream import windowed_oov_rate
+
+    ts = F.timestamp_seconds(F.lit(1700000000))
+    rows = [
+        ("a", "web", [1, 2, 3]),
+        ("b", "web", [1, 9, 9, 9]),
+        ("c", "books", [2, 3]),
+        ("d", "books", None),
+        ("e", "books", []),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, source string, tokens array<int>"
+    ).withColumn("ts", ts)
+    d = str(tmp_path)
+    df.coalesce(1).write.mode("overwrite").parquet(os.path.join(d, "in"))
+    vocab = spark.createDataFrame([(1,), (2,), (3,)], "token_id int")
+
+    stream = spark.readStream.schema(
+        "doc_id string, source string, tokens array<int>, ts timestamp"
+    ).parquet(os.path.join(d, "in"))
+    out = windowed_oov_rate(
+        stream, vocab, window="10 minutes", watermark="10 minutes"
+    )
+    q = (
+        out.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("oov_t")
+        .option("checkpointLocation", os.path.join(d, "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r["source"]: (r["n_tokens"], r["n_oov"], r["oov_rate"])
+        for r in spark.sql("select * from oov_t").collect()
+    }
+    # web: 7 tokens, the three 9s are OOV; books: NULL/empty arrays
+    # contribute nothing
+    assert got == {
+        "web": (7, 3, round(3 / 7, 6)),
+        "books": (2, 0, 0.0),
+    }
