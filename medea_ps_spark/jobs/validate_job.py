@@ -185,6 +185,13 @@ def main() -> None:
         help="history key for --history (default: derived from the "
              "checkpoint fingerprint + run count)",
     )
+    ap.add_argument(
+        "--datasheet", default=None, metavar="PATH",
+        help="also write a corpus data-card JSON (size/composition/"
+             "duplication/quantiles; operators/datasheet.py) for the "
+             "input table to PATH — a few bounded aggregate passes, "
+             "text- and token-table aware",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -289,6 +296,22 @@ def main() -> None:
         result = {"partitions": metrics}
     if args.history:
         result["anomalies"] = _monitor(args)
+    if args.datasheet:
+        from medea_ps_spark.operators.datasheet import (
+            corpus_datasheet,
+            write_datasheet,
+        )
+
+        sheet = corpus_datasheet(
+            spark.read.parquet(args.input),
+            text_col="text",
+            id_col=args.id_col,
+            source_col=args.partition_col,
+            lang_col="lang",
+            tokens_col="tokens",
+        )
+        write_datasheet(sheet, args.datasheet)
+        result["datasheet"] = args.datasheet
     print(json.dumps(result, sort_keys=True))
     spark.stop()
 

@@ -84,12 +84,38 @@ def test_hll_duplication_close(corpus):
 def test_length_quantiles_and_roundtrip(corpus, tmp_path):
     sheet = corpus_datasheet(corpus)
     q = sheet["length_quantiles"]
-    assert set(q) == {"p10", "p25", "p50", "p75", "p90", "p99"}
+    assert set(q) == {"measure", "p10", "p25", "p50", "p75", "p90", "p99"}
+    assert q["measure"] == "n_chars"
     assert q["p10"] <= q["p50"] <= q["p99"]
     out = tmp_path / "sheet.json"
     write_datasheet(sheet, str(out))
     back = json.loads(out.read_text())
     assert back == sheet
+
+
+def test_token_table_shape(spark):
+    """The north-rule table has no text column: duplication falls back
+    to token-array fingerprints, quantiles measure tokens."""
+    rows = [
+        ("a", [1, 2, 3], "web"),
+        ("b", [1, 2, 3], "web"),   # exact token dup of a
+        ("c", [4, 5], "books"),
+        ("d", None, "books"),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id string, tokens array<int>, source string"
+    )
+    sheet = corpus_datasheet(
+        df, tokens_col="tokens", source_col="source", exact_dups=True
+    )
+    assert "avg_chars" not in sheet["corpus"]
+    d = sheet["duplication"]
+    assert d["fingerprint"] == "tokens"
+    assert d["distinct_fingerprints"] == 2
+    assert d["duplicate_rate"] == round(1 - 2 / 3, 6)  # among 3 with content
+    assert sheet["tokens"]["total_tokens"] == 8
+    assert sheet["length_quantiles"]["measure"] == "n_tok"
+    assert sheet["length_quantiles"]["p50"] in (2, 3)
 
 
 def test_empty_corpus(spark):
