@@ -22,6 +22,7 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from medea_ps_spark.functions.vector import cosine
+from medea_ps_spark.operators.fanout import fan_out
 from medea_ps_spark.operators import validator as V
 from medea_ps_spark.operators import dedup as DD
 from medea_ps_spark.operators import similarity as SIM
@@ -381,7 +382,7 @@ def q_dedup_minhash_lsh(spark, sf_dir):
     just row counts. The xxhash64 default stays the scale path (unit-
     tested); 8 bands × 4 rows puts the s-curve threshold at ~0.6 for
     the tiny-vocab synthetic corpus."""
-    df = _docs(spark, sf_dir).where(F.col("doc_id") < 400)
+    df = fan_out(_docs(spark, sf_dir).where(F.col("doc_id") < 400))
     pairs = DD.minhash_near_duplicates(
         df, num_hashes=32, bands=8, threshold=0.35, shingle_k=3,
         hash_fn="md5",
@@ -1000,7 +1001,7 @@ def q_token_contamination(spark, sf_dir):
     test_tokenops)."""
     from medea_ps_spark.operators.tokenops import token_contamination
 
-    df = spark.read.parquet(SEQ_FIXTURE)
+    df = fan_out(spark.read.parquet(SEQ_FIXTURE))
     ev = df.where(
         F.md5("doc_id").like("00%") & (F.size("tokens") >= 10)
     ).select(F.slice("tokens", 3, 8).alias("tokens"))

@@ -67,7 +67,10 @@ def _assign_expr(vec, centroids: np.ndarray):
     array (sim, idx) reduced with array_max (lexicographic)."""
     entries = [
         F.struct(
-            dot(vec, F.array(*[F.lit(float(v)) for v in c])).alias("sim"),
+            # one Literal array node per centroid (lit(list)) — same
+            # values/fold order as the CreateArray form, far smaller
+            # plan and ~dim× fewer py4j calls per build
+            dot(vec, F.lit([float(v) for v in c])).alias("sim"),
             F.lit(i).alias("idx"),
         )
         for i, c in enumerate(centroids)
@@ -100,7 +103,7 @@ def ivf_topk(
     # per-query probe lists: top-n_probe centroids as an array expression
     entries = [
         F.struct(
-            dot(F.col("_qvec"), F.array(*[F.lit(float(v)) for v in cc])).alias("sim"),
+            dot(F.col("_qvec"), F.lit([float(v) for v in cc])).alias("sim"),
             F.lit(i).alias("idx"),
         )
         for i, cc in enumerate(centroids)

@@ -108,7 +108,7 @@ def _quantile_buckets(
             out.append(F.lit(0))
             continue
         uniq = sorted(set(cuts))
-        bounds = F.array(*[F.lit(float(v)) for v in uniq])
+        bounds = F.lit([float(v) for v in uniq])
         out.append(
             F.aggregate(
                 bounds,

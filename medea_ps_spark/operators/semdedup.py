@@ -51,9 +51,7 @@ def centroid_similarity(
     and centroids are unit-norm, so cosine = dot / |v|."""
     entries = [
         F.struct(
-            dot(F.col(vec_col), F.array(*[F.lit(float(v)) for v in c])).alias(
-                "sim"
-            ),
+            dot(F.col(vec_col), F.lit([float(v) for v in c])).alias("sim"),
             F.lit(i).alias("idx"),
         )
         for i, c in enumerate(centroids)
