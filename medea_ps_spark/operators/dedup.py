@@ -109,12 +109,24 @@ def minhash_signature(
     hash(seed, i, shingle). Entirely JVM-side: transform + array_min
     over the shingle array, one pass, no shuffle."""
     sh = word_shingles(F.col(text_col), k=shingle_k).alias("_sh")
-    sig = F.array(
-        *[
-            F.array_min(F.transform(F.col("_sh"), _minhash_term(i, seed, hash_fn)))
+    # all lanes in ONE SQL string -> one F.expr/py4j call instead of
+    # num_hashes transform-lambda conversions (~1 s of per-attempt
+    # build cost at 32 lanes); the per-lane expression is identical to
+    # the _minhash_term Column form, so signatures are bit-identical
+    if hash_fn == "md5":
+        lanes = [
+            "array_min(transform(_sh, s -> "
+            f"md5(encode(concat('{seed}:{i}|', s), 'utf-8'))))"
             for i in range(num_hashes)
         ]
-    )
+    else:
+        # bare int literals: xxhash64 hashes by TYPE, and F.lit(int)
+        # is an INT column — SQL `42` is INT too, so lanes match
+        lanes = [
+            f"array_min(transform(_sh, s -> xxhash64({seed}, {i}, s)))"
+            for i in range(num_hashes)
+        ]
+    sig = F.expr("array(" + ", ".join(lanes) + ")")
     return (
         df.select(F.col(id_col), sh)
         .where(F.size("_sh") > 0)
@@ -275,20 +287,19 @@ def simhash(
         F.col(id_col),
         F.transform(toks, tok_hash).alias("_th"),
     )
-    th = F.col("_th")
-    n = F.size(th)
-    sig = F.lit(0).cast("bigint")
-
-    def bit_set(bb: int):
-        # NB: a one-arg lambda is required — pyspark treats two-parameter
-        # lambdas (incl. default args) as (element, index) HOFs
-        return lambda h: F.shiftright(h, bb).bitwiseAND(F.lit(1)) == 1
-
-    for b in range(bits):
-        ones = F.size(F.filter(th, bit_set(b)))
-        sig = sig + F.when(
-            ones * 2 > n, F.lit(1 << b).cast("bigint") if b < 63 else F.lit(-(1 << 63)).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
+    # all bit votes in ONE SQL string -> one F.expr/py4j call instead
+    # of `bits` filter-lambda conversions (~1.4 s of per-attempt build
+    # cost at 60 bits); per-bit expression identical to the previous
+    # Column form (shiftright/&/size/when), so fingerprints are
+    # bit-identical. shiftleft(1L, 63) wraps to long-min, matching the
+    # old -(1<<63) literal for the sign bit.
+    terms = [
+        "(CASE WHEN size(filter(_th, h -> (shiftright(h, "
+        f"{b}) & 1) = 1)) * 2 > size(_th) "
+        f"THEN shiftleft(1L, {b}) ELSE 0L END)"
+        for b in range(bits)
+    ]
+    sig = F.expr("CAST(0 AS BIGINT) + " + " + ".join(terms))
     return hashed.select(F.col(id_col), sig.alias("simhash"))
 
 

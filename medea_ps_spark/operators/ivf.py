@@ -19,7 +19,7 @@ from typing import List, Optional
 import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.vector import cosine, dot
+from ..functions.vector import cosine, dot, dot_fixed, norm_fixed
 from .topk import topk_per_group
 
 
@@ -70,7 +70,9 @@ def _assign_expr(vec, centroids: np.ndarray):
             # one Literal array node per centroid (lit(list)) — same
             # values/fold order as the CreateArray form, far smaller
             # plan and ~dim× fewer py4j calls per build
-            dot(vec, F.lit([float(v) for v in c])).alias("sim"),
+            dot_fixed(
+                vec, F.lit([float(v) for v in c]), len(c)
+            ).alias("sim"),
             F.lit(i).alias("idx"),
         )
         for i, c in enumerate(centroids)
@@ -99,11 +101,18 @@ def ivf_topk(
     """Probe the n_probe nearest lists per query, exact cosine re-rank.
     The corpus join key is the (int) list id; queries are broadcast with
     their probe lists exploded."""
-    c = assign_lists(corpus, centroids, vec_col)
+    dim = int(centroids.shape[1])
+    c = assign_lists(corpus, centroids, vec_col).withColumn(
+        # per-row norm hoisted out of the per-pair cosine (same operand
+        # order → bit-identical scores; see similarity.py)
+        "_cn", norm_fixed(F.col(vec_col), dim)
+    )
     # per-query probe lists: top-n_probe centroids as an array expression
     entries = [
         F.struct(
-            dot(F.col("_qvec"), F.lit([float(v) for v in cc])).alias("sim"),
+            dot_fixed(
+                F.col("_qvec"), F.lit([float(v) for v in cc]), len(cc)
+            ).alias("sim"),
             F.lit(i).alias("idx"),
         )
         for i, cc in enumerate(centroids)
@@ -112,14 +121,16 @@ def ivf_topk(
         F.reverse(F.array_sort(F.array(*entries))), 1, n_probe
     )
     q = (
-        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"))
+        queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"),
+                       norm_fixed(F.col(vec_col), dim).alias("_qn"))
         .withColumn("_probe", F.explode(F.transform(probes, lambda s: s["idx"])))
     )
     cand = c.join(F.broadcast(q), c["ivf_list"] == q["_probe"])
     scored = cand.select(
         F.col(query_id_col),
         F.col(id_col).alias("neighbor_id"),
-        cosine(F.col(vec_col), F.col("_qvec")).alias("cosine_sim"),
+        (dot_fixed(F.col(vec_col), F.col("_qvec"), dim)
+         / (F.col("_cn") * F.col("_qn"))).alias("cosine_sim"),
     )
     return topk_per_group(
         scored,

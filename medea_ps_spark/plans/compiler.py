@@ -371,22 +371,17 @@ def _compile_row_constraint(
                 ok = ok & (x < F.lit(c.hi))
             return ok
 
-        # Predicate via array_min/array_max instead of
-        # forall(col, elem_ok): higher-order functions are
-        # CodegenFallback — the lambda is interpreted per ELEMENT, which
-        # on the north-rule tokens table (~512 elements/row) dominates
-        # the whole validate projection. array_min/array_max are single
-        # tight JVM loops. Truth table after the _null_tolerant coalesce
-        # is identical to the forall form: fails iff some element
-        # definitely violates (array_min/max skip NULL elements exactly
-        # as forall's NULL-element result coalesces to pass; empty/NULL
-        # arrays yield NULL -> pass on both forms).
-        col = F.col(c.column)
-        pred = F.lit(True)
-        if c.lo is not None:
-            pred = pred & (F.array_min(col) >= F.lit(c.lo))
-        if c.hi is not None:
-            pred = pred & (F.array_max(col) < F.lit(c.hi))
+        # Predicate stays forall(col, elem_ok). The r6 session tried
+        # array_min/array_max ("tight JVM loops beat the interpreted
+        # HOF lambda") and MEASURED it slower on the 24M-row ~512-
+        # element tokens table: interleaved A/B, 4 reps each, min
+        # 18.6 s (forall) vs 22.9 s (min/max), old faster in every
+        # same-window pair. With both bounds set, min+max is TWO full
+        # array passes over a memory-bound column while forall is one
+        # pass with short-circuit — the extra pass costs more than the
+        # per-element interpreter overhead saves (guide §1.1: measure,
+        # then decide).
+        pred = F.forall(F.col(c.column), elem_ok)
         offending = F.element_at(
             F.filter(F.col(c.column), lambda x: ~F.coalesce(elem_ok(x), F.lit(False))),
             1,
