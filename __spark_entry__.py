@@ -411,7 +411,7 @@ def q_ann_topk(spark, sf_dir):
         F.col("vec_id").alias("query_id"), "embedding"
     )
     corpus = emb.where(F.col("vec_id") >= 8)
-    topk = SIM.brute_force_topk(corpus, queries, k=3, dim=64)
+    topk = SIM.brute_force_topk(corpus, queries, k=3)
     return topk.select(
         "query_id",
         "neighbor_id",

@@ -29,27 +29,10 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def dot_fixed(a: Column, b: Column, dim: int) -> Column:
-    """``dot`` with a statically known dimension: the multiply-add
-    chain is unrolled into ``get``/``*``/``+`` builtins, which
-    whole-stage-codegen (the HOF form is CodegenFallback — the lambda
-    interprets per element). Left-assoc addition reproduces the
-    aggregate fold exactly, and a size guard falls back to the HOF
-    form whenever either array is not exactly ``dim`` long, so the
-    result is bit-identical to ``dot`` for EVERY input."""
-    acc = F.lit(0.0)
-    for i in range(dim):
-        acc = acc + F.get(a, i).cast("double") * F.get(b, i).cast("double")
-    return F.when(
-        (F.size(a) == dim) & (F.size(b) == dim), acc
-    ).otherwise(dot(a, b))
-
-
-def norm_fixed(a: Column, dim: int) -> Column:
-    """``norm`` with a statically known dimension — same unrolling and
-    guard as :func:`dot_fixed`."""
-    acc = F.lit(0.0)
-    for i in range(dim):
-        x = F.get(a, i).cast("double")
-        acc = acc + x * x
-    return F.when(F.size(a) == dim, F.sqrt(acc)).otherwise(norm(a))
+# NB (round 6, measured): unrolled fixed-dim variants of dot/norm
+# (get()/*/+ chains guarded by size(vec)==dim) were tried and REVERTED:
+# whole-stage codegen emits both guard branches, and at dim 64 the
+# generated projection blows the method budget and falls back to
+# interpreting the giant expression — ann_topk 0.6s -> 1.5-2.0s,
+# ann_lsh 1.5s -> 8.5-9.4s (interleaved sweep, sf0.1). The HOF
+# zip_with/aggregate fold is the fastest correct form measured here.

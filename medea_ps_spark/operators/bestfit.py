@@ -131,7 +131,14 @@ def chunk_oversize(
     doc becomes ceil(n/seq_len) rows with ids ``"<id>~<chunk>"``;
     docs that already fit pass through with chunk 0 and their original
     id. Pure expressions (posexplode over a chunk-index sequence +
-    ``slice``) — map-only except the Generate, no shuffle, no UDF."""
+    ``slice``) — map-only except the Generate, no shuffle, no UDF.
+
+    CONTRACT (ADVICE r5): original ids must not contain ``"~"`` — an
+    input id that literally looks like ``"<other>~<k>"`` could collide
+    with a generated chunk id and corrupt the downstream equi-join in
+    :func:`assemble_packs`. Callers with free-form string ids should
+    pre-hash or escape them; ``(parent_id, chunk_index)`` is always
+    collision-free and is carried on every output row."""
     if seq_len <= 0:
         raise ValueError(f"seq_len must be positive, got {seq_len}")
     toks = F.col(tokens_col)

@@ -62,7 +62,13 @@ def corpus_datasheet(
         fp = F.when(
             F.col(tokens_col).isNull(), F.lit(None)
         ).otherwise(
-            F.md5(F.concat_ws(",", F.col(tokens_col).cast("array<string>")))
+            # ADVICE r5: concat_ws silently skips NULL elements, which
+            # would fingerprint [1,NULL,2] and [1,2] identically and
+            # inflate duplicate_rate — map NULLs to a sentinel first
+            F.md5(F.concat_ws(",", F.transform(
+                F.col(tokens_col),
+                lambda t: F.coalesce(t.cast("string"), F.lit("\u0000")),
+            )))
         )
     else:
         fp = None

@@ -19,7 +19,7 @@ from typing import List, Optional
 import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.vector import cosine, dot, dot_fixed, norm_fixed
+from ..functions.vector import cosine, dot, norm
 from .topk import topk_per_group
 
 
@@ -70,9 +70,7 @@ def _assign_expr(vec, centroids: np.ndarray):
             # one Literal array node per centroid (lit(list)) — same
             # values/fold order as the CreateArray form, far smaller
             # plan and ~dim× fewer py4j calls per build
-            dot_fixed(
-                vec, F.lit([float(v) for v in c]), len(c)
-            ).alias("sim"),
+            dot(vec, F.lit([float(v) for v in c])).alias("sim"),
             F.lit(i).alias("idx"),
         )
         for i, c in enumerate(centroids)
@@ -105,14 +103,12 @@ def ivf_topk(
     c = assign_lists(corpus, centroids, vec_col).withColumn(
         # per-row norm hoisted out of the per-pair cosine (same operand
         # order → bit-identical scores; see similarity.py)
-        "_cn", norm_fixed(F.col(vec_col), dim)
+        "_cn", norm(F.col(vec_col))
     )
     # per-query probe lists: top-n_probe centroids as an array expression
     entries = [
         F.struct(
-            dot_fixed(
-                F.col("_qvec"), F.lit([float(v) for v in cc]), len(cc)
-            ).alias("sim"),
+            dot(F.col("_qvec"), F.lit([float(v) for v in cc])).alias("sim"),
             F.lit(i).alias("idx"),
         )
         for i, cc in enumerate(centroids)
@@ -122,14 +118,14 @@ def ivf_topk(
     )
     q = (
         queries.select(F.col(query_id_col), F.col(vec_col).alias("_qvec"),
-                       norm_fixed(F.col(vec_col), dim).alias("_qn"))
+                       norm(F.col(vec_col)).alias("_qn"))
         .withColumn("_probe", F.explode(F.transform(probes, lambda s: s["idx"])))
     )
     cand = c.join(F.broadcast(q), c["ivf_list"] == q["_probe"])
     scored = cand.select(
         F.col(query_id_col),
         F.col(id_col).alias("neighbor_id"),
-        (dot_fixed(F.col(vec_col), F.col("_qvec"), dim)
+        (dot(F.col(vec_col), F.col("_qvec"))
          / (F.col("_cn") * F.col("_qn"))).alias("cosine_sim"),
     )
     return topk_per_group(

@@ -99,11 +99,14 @@ def vocab_truncate(
     else:
         bc = df.sparkSession.sparkContext.broadcast(("sorted", kept_ids))
 
+    src = df.schema[tokens_col]
+    # ADVICE r5: when out_col overwrites an EXISTING column, the output
+    # field must carry the rewritten-array type (src.dataType), not the
+    # overwritten column's old type — rewrite() writes token lists.
     fields = [
-        f if f.name != out else StructField(out, f.dataType, True)
+        f if f.name != out else StructField(out, src.dataType, True)
         for f in df.schema.fields
     ]
-    src = df.schema[tokens_col]
     if out not in df.columns:
         fields.append(StructField(out, src.dataType, True))
     fields.append(StructField(oov_col, IntegerType(), True))

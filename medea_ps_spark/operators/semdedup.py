@@ -35,7 +35,7 @@ from typing import Optional
 import numpy as np
 from pyspark.sql import DataFrame, functions as F
 
-from ..functions.vector import cosine, dot, dot_fixed, norm
+from ..functions.vector import cosine, dot, norm
 from .dedup import _cap_buckets
 from .dedup_cluster import connected_components
 from .ivf import assign_lists
@@ -51,9 +51,7 @@ def centroid_similarity(
     and centroids are unit-norm, so cosine = dot / |v|."""
     entries = [
         F.struct(
-            dot_fixed(
-                F.col(vec_col), F.lit([float(v) for v in c]), len(c)
-            ).alias("sim"),
+            dot(F.col(vec_col), F.lit([float(v) for v in c])).alias("sim"),
             F.lit(i).alias("idx"),
         )
         for i, c in enumerate(centroids)

@@ -18,7 +18,7 @@ from typing import Optional
 import numpy as np
 from pyspark.sql import DataFrame, Window, functions as F
 
-from ..functions.vector import cosine, dot, dot_fixed, norm, norm_fixed
+from ..functions.vector import cosine, dot, norm
 from .topk import topk_per_group
 
 
@@ -29,7 +29,6 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
-    dim: Optional[int] = None,
 ) -> DataFrame:
     """Exact top-k by cosine: broadcast-join queries × corpus, then
     two-phase top-k (operators/topk.py). Corpus never shuffles for the
@@ -41,18 +40,16 @@ def brute_force_topk(
     # cosine = dot/(norm_a*norm_b) with the same operand order, so the
     # result is bit-identical while the norm aggregates drop from
     # |corpus|×|queries| to |corpus|+|queries| (guide §1.2 step 2)
-    _norm = (lambda c: norm_fixed(c, dim)) if dim else norm
-    _dot = (lambda x, y: dot_fixed(x, y, dim)) if dim else dot
     q = queries.select(
         F.col(query_id_col), F.col(vec_col).alias("_qvec"),
-        _norm(F.col(vec_col)).alias("_qn"),
+        norm(F.col(vec_col)).alias("_qn"),
     )
     scored = corpus.select(
-        F.col(id_col), F.col(vec_col), _norm(F.col(vec_col)).alias("_cn")
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_cn")
     ).join(F.broadcast(q)).select(
         F.col(query_id_col),
         F.col(id_col).alias("neighbor_id"),
-        (_dot(F.col(vec_col), F.col("_qvec"))
+        (dot(F.col(vec_col), F.col("_qvec"))
          / (F.col("_cn") * F.col("_qn"))).alias("cosine_sim"),
     )
     return topk_per_group(
@@ -108,7 +105,7 @@ def lsh_topk(
     cb = corpus.select(
         F.col(id_col),
         F.col(vec_col),
-        norm_fixed(F.col(vec_col), dim).alias("_cn"),
+        norm(F.col(vec_col)).alias("_cn"),
         F.explode(
             _srp_table_pairs(vec_col, dim, n_planes, n_tables, seed)
         ).alias("_tb"),
@@ -117,7 +114,7 @@ def lsh_topk(
     qb = queries.select(
         F.col(query_id_col),
         F.col(vec_col).alias("_qvec"),
-        norm_fixed(F.col(vec_col), dim).alias("_qn"),
+        norm(F.col(vec_col)).alias("_qn"),
         F.explode(
             _srp_table_pairs(vec_col, dim, n_planes, n_tables, seed)
         ).alias("_tb"),
@@ -130,7 +127,7 @@ def lsh_topk(
     scored = cand.select(
         F.col(query_id_col),
         F.col(id_col).alias("neighbor_id"),
-        (dot_fixed(F.col(vec_col), F.col("_qvec"), dim)
+        (dot(F.col(vec_col), F.col("_qvec"))
          / (F.col("_cn") * F.col("_qn"))).alias("cosine_sim"),
     )
     return topk_per_group(
@@ -180,46 +177,30 @@ def _srp_table_pairs_sql(
         for t in range(n_tables)
     }
 
-    def proj_hof(plane) -> str:
-        lit = "array(" + ",".join(_fmt_double(x) for x in plane) + ")"
-        return (
-            f"aggregate(zip_with({vec_sql}, {lit}, "
-            "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
-            "0.0D, (acc, x) -> acc + x)"
-        )
-
-    def proj_unrolled(plane) -> str:
-        # SQL `+` is left-associative, so this chain reproduces the
-        # aggregate fold term for term; `get` is the null-safe 0-based
-        # element access and every node whole-stage-codegens (the HOF
-        # form is CodegenFallback — interpreted per element)
-        return "0.0D + " + " + ".join(
-            f"CAST(get({vec_sql}, {i}) AS DOUBLE) * {_fmt_double(w)}"
-            for i, w in enumerate(plane)
-        )
-
-    def table_array(proj_of) -> str:
-        structs = []
-        for t in range(n_tables):
-            terms = []
-            for p in range(n_planes):
-                proj = proj_of(planes_by_t[t][p])
-                terms.append(
-                    f"(CASE WHEN ({proj}) > 0.0D THEN {1 << p}L ELSE 0L END)"
-                )
-            bucket = "CAST(0 AS BIGINT) + " + " + ".join(terms)
-            structs.append(f"named_struct('t', {t}, 'b', {bucket})")
-        return "array(" + ", ".join(structs) + ")"
-
-    # one guard for the whole signature: vectors of exactly `dim`
-    # elements (the contract, and every fixture row) take the codegen
-    # unrolled path; anything else falls back to the HOF form whose
-    # zip_with padding semantics the unrolled chain cannot reproduce —
-    # so the result is bit-identical for EVERY input
-    return (
-        f"CASE WHEN size({vec_sql}) = {dim} THEN {table_array(proj_unrolled)} "
-        f"ELSE {table_array(proj_hof)} END"
-    )
+    # NB (measured, this round): an unrolled get()/*/+ variant of the
+    # dot — guarded by size(vec)=dim with this HOF form as fallback —
+    # REGRESSED ann_lsh 1.5s -> 8.5-9.4s: codegen emits BOTH CASE
+    # branches (~2x36x64 terms/side), blowing the generated-method
+    # budget and falling back to interpreting the whole giant
+    # projection. The HOF fold stays.
+    structs = []
+    for t in range(n_tables):
+        terms = []
+        for p in range(n_planes):
+            lit = "array(" + ",".join(
+                _fmt_double(x) for x in planes_by_t[t][p]
+            ) + ")"
+            proj = (
+                f"aggregate(zip_with({vec_sql}, {lit}, "
+                "(x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+                "0.0D, (acc, x) -> acc + x)"
+            )
+            terms.append(
+                f"(CASE WHEN {proj} > 0.0D THEN {1 << p}L ELSE 0L END)"
+            )
+        bucket = "CAST(0 AS BIGINT) + " + " + ".join(terms)
+        structs.append(f"named_struct('t', {t}, 'b', {bucket})")
+    return "array(" + ", ".join(structs) + ")"
 
 
 def _srp_table_pairs(vec_col_name: str, dim: int, n_planes: int,
@@ -263,8 +244,7 @@ def cosine_near_duplicates(
     # dot/(norm_a*norm_b) in the same operand order → bit-identical
     # sims, but norms are computed n times instead of once per pair
     v = df.select(
-        F.col(id_col), F.col(vec_col),
-        norm_fixed(F.col(vec_col), dim).alias("_nm"),
+        F.col(id_col), F.col(vec_col), norm(F.col(vec_col)).alias("_nm")
     )
 
     def flat(joined) -> DataFrame:
@@ -307,7 +287,7 @@ def cosine_near_duplicates(
         pairs = p.dropDuplicates(["id_a", "id_b"])
     out = pairs.select(
         "id_a", "id_b",
-        (dot_fixed(F.col("_va"), F.col("_vb"), dim)
+        (dot(F.col("_va"), F.col("_vb"))
          / (F.col("_na") * F.col("_nb"))).alias("cosine_sim"),
     )
     return out.where(F.col("cosine_sim") >= threshold)
