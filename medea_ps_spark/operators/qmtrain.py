@@ -151,21 +151,39 @@ def _margin_and_residual(xmat: DataFrame, w_df: DataFrame) -> DataFrame:
     return margins.select("id", "y", "m", (p - F.col("y")).alias("r"))
 
 
-def gradient_plan(xmat: DataFrame, w_df: DataFrame) -> DataFrame:
+def gradient_plan(
+    xmat: DataFrame, w_df: DataFrame, loss_bucket: Optional[int] = None
+) -> DataFrame:
     """The per-iteration plan: margins (broadcast weight join + id
     groupBy) → residuals → join back to the id-partitioned design
     matrix → per-bucket gradient sums. Exposed for the plan-quality
     test (exactly one shuffle Exchange: the n_buckets-bounded groupBy
-    at the end)."""
-    resid = _margin_and_residual(xmat, w_df).select("id", "r")
-    return (
-        xmat.join(resid, "id")
-        .groupBy("bucket")
-        .agg(
-            F.sum(F.col("x") * F.col("r")).alias("g"),
-            F.count(F.lit(1)).alias("n"),
+    at the end).
+
+    ``loss_bucket`` (VERDICT r5 #2): when set to the BIAS bucket id,
+    the per-doc train log-loss term rides the same aggregate — each
+    doc has exactly one bias row, so summing the loss term over rows
+    of that bucket sums it once per doc, and the iteration needs ONE
+    job instead of a separate loss collect."""
+    mr = _margin_and_residual(xmat, w_df)
+    if loss_bucket is not None:
+        # stable softplus(-z): max(0,-z) + log1p(exp(-|z|))
+        z = (F.col("y") * 2 - 1) * F.col("m")
+        lt = F.greatest(-z, F.lit(0.0)) + F.log1p(F.exp(-F.abs(z)))
+        resid = mr.select("id", "r", lt.alias("_lt"))
+    else:
+        resid = mr.select("id", "r")
+    aggs = [
+        F.sum(F.col("x") * F.col("r")).alias("g"),
+        F.count(F.lit(1)).alias("n"),
+    ]
+    if loss_bucket is not None:
+        aggs.append(
+            F.sum(
+                F.when(F.col("bucket") == loss_bucket, F.col("_lt"))
+            ).alias("lsum")
         )
-    )
+    return xmat.join(resid, "id").groupBy("bucket").agg(*aggs)
 
 
 def train_quality_classifier(
@@ -205,21 +223,17 @@ def train_quality_classifier(
     try:
         for _ in range(n_iter):
             w_df = _weights_df(spark, w)
-            if track_loss:
-                mr = _margin_and_residual(xmat, w_df)
-                # stable softplus(-z): max(0,-z) + log1p(exp(-|z|))
-                z = (F.col("y") * 2 - 1) * F.col("m")
-                loss = mr.agg(
-                    F.avg(
-                        F.greatest(-z, F.lit(0.0))
-                        + F.log1p(F.exp(-F.abs(z)))
-                    ).alias("loss")
-                ).collect()[0]["loss"]
-                losses.append(float(loss))
-            grad_rows = gradient_plan(xmat, w_df).collect()
+            # track_loss folds the log-loss into the SAME n_buckets-row
+            # aggregate via the bias bucket (one job/iteration, not
+            # two — VERDICT r5 #2); loss = bias-bucket lsum / n_docs
+            grad_rows = gradient_plan(
+                xmat, w_df, loss_bucket=n_buckets if track_loss else None
+            ).collect()
             g = np.zeros(n_buckets + 1, dtype=np.float64)
             for row in grad_rows:
                 g[row["bucket"]] = row["g"]
+                if track_loss and row["bucket"] == n_buckets:
+                    losses.append(float(row["lsum"]) / n_docs)
             if l2:
                 reg = l2 * w
                 reg[n_buckets] = 0.0
