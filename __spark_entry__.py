@@ -51,6 +51,24 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
+# size-adaptive spread for single-row-group test inputs (guide §2.5):
+# the ANN/LM queries pipeline very heavy narrow work (interpreted HOF
+# dot products, word explode+hash) into the scan task; the spread only
+# pays once the input is big enough to amortize the exchange (measured
+# crossover between ~0.9 MB and ~3.9 MB plan-stat sizes — see
+# OPTIMIZATION_r06.md; 2 MB sits between with ≥2x margin each way)
+_FAN_MIN_BYTES = 2 << 20
+
+
+def _emb(spark, sf_dir):
+    return fan_out(
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
+            "embedding", F.col("embedding").cast("array<double>")
+        ),
+        min_bytes=_FAN_MIN_BYTES,
+    )
+
+
 def _registry() -> Registry:
     """The flagship ConstraintSet over the documents corpus — one
     constraint per Medea-generalization family (SURVEY.md §1.4)."""
@@ -404,9 +422,7 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 def q_ann_topk(spark, sf_dir):
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
-    )
+    emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -421,9 +437,7 @@ def q_ann_topk(spark, sf_dir):
 
 
 def q_embedding_near_dups(spark, sf_dir):
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
-    )
+    emb = _emb(spark, sf_dir)
     pairs = SIM.cosine_near_duplicates(
         emb.where(F.col("vec_id") < 200), threshold=0.25, exact=True
     )
@@ -437,9 +451,7 @@ def q_ann_lsh(spark, sf_dir):
     function of the seed, so the oracle embeds the same planes as
     literals and DuckDB reproduces buckets, candidate join, and the
     exact re-rank (see _ann_lsh_sql). Recall vs exact is unit-tested."""
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
-    )
+    emb = _emb(spark, sf_dir)
     queries = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
@@ -473,9 +485,7 @@ def q_ann_ivf(spark, sf_dir):
     the same centroids as SQL literals and reproduces all three."""
     from medea_ps_spark.operators import ivf as IVF
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
-    )
+    emb = _emb(spark, sf_dir)
     cent = _ivf_centroids()
     queries = emb.where(F.col("vec_id") < 8).select(
         F.col("vec_id").alias("query_id"), "embedding"
@@ -495,9 +505,7 @@ def q_embedding_dedup_clusters(spark, sf_dir):
     the same pair graph in SQL + a recursive-CTE transitive closure."""
     from medea_ps_spark.operators.dedup_cluster import connected_components
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").withColumn(
-        "embedding", F.col("embedding").cast("array<double>")
-    )
+    emb = _emb(spark, sf_dir)
     pairs = SIM.cosine_near_duplicates(
         emb.where(F.col("vec_id") < 200), threshold=0.25, exact=True
     )
@@ -902,7 +910,7 @@ def q_text_lm_score(spark, sf_dir):
         unigram_lm_scores,
     )
 
-    df = _docs(spark, sf_dir)
+    df = fan_out(_docs(spark, sf_dir), min_bytes=_FAN_MIN_BYTES)
     uni = unigram_lm_scores(df, "text", "doc_id", alpha=1.0)
     bi = bigram_lm_scores(
         df, "text", "doc_id", alpha=1.0, lam=0.75

@@ -26,11 +26,32 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 
 
-def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
+def fan_out(
+    df: DataFrame,
+    target: int | None = None,
+    min_bytes: int | None = None,
+) -> DataFrame:
     """Repartition ``df`` to ``target`` (default: the session's default
     parallelism) iff it currently has fewer partitions — a cheap spread
-    for single-row-group inputs, a guaranteed no-op for wide scans."""
+    for single-row-group inputs, a guaranteed no-op for wide scans.
+
+    ``min_bytes`` makes the spread SIZE-ADAPTIVE (guide §2): the
+    round-robin exchange has a fixed ~0.2-0.5 s stage cost, so it only
+    pays when the serialized narrow work it parallelizes scales with
+    enough data. Measured on single-row-group inputs (interleaved A/B,
+    this round): at ~0.6-0.8 MB the exchange is flat-to-negative; at
+    ~6-8 MB it wins 0.6-2.2 s on the HOF-heavy ANN/LM queries. When
+    set, the spread fires only if the optimizer's size estimate
+    (``optimizedPlan().stats().sizeInBytes`` — plan metadata, no job)
+    reaches ``min_bytes``. At production scale the partition-count
+    guard already short-circuits everything to a no-op."""
     tgt = target or df.sparkSession.sparkContext.defaultParallelism
+    if min_bytes is not None:
+        size = int(
+            df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+        if size < min_bytes:
+            return df
     if df.rdd.getNumPartitions() < tgt:
         return df.repartition(tgt)
     return df
