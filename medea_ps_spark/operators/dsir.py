@@ -105,6 +105,12 @@ def dsir_log_ratios(
     (in fact ``log_ratio = n_tokens · ln2 · (bits_raw − bits_target)``,
     asserted by test). One corpus scan: pre-aggregated (doc, word)
     counts, two broadcastable profile joins, one groupBy(doc)."""
+    # NB (r6, measured): deriving the default raw profile FROM the
+    # (doc, word) aggregate below (Σ_doc c(doc,w) — value-identical)
+    # was tried and reverted: without caching, the pairs aggregate is
+    # recomputed in the r_tot job, the raw-profile broadcast build AND
+    # the main join — three (doc,word) shuffles replace three cheap
+    # word-only explode+aggs, and the 10× fixture slowed 2.5 → 3.0 s.
     if raw_counts is None:
         raw_counts = unigram_counts(corpus, text_col, tokens_col=tokens_col)
 
